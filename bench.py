@@ -1,0 +1,67 @@
+"""Headline benchmark: 512² DDIM denoise steps/sec/chip.
+
+Measures the reference's metric workload (SURVEY §3.2): the 50-step DDIM loop
+at 512x512 (64x64 latents) with classifier-free guidance — i.e. 2x UNet
+forward per denoise step — on one chip, SD v1.4-sized UNet in bf16.
+
+Baseline: an A100 runs SD v1 fp16 at ~10 denoise steps/sec (batch 1, 512²,
+50-step DDIM in ~5s with standard attention).  BASELINE.md's target is >=2x
+that, so ``vs_baseline = value / 10.0`` reports our multiple of the A100
+reference (2.0 == target met).
+
+Prints exactly one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_STEPS_PER_SEC = 10.0
+
+
+def main():
+    from celebbasis_tpu.diffusion.sampler import SamplerConfig, ddim_sample
+    from celebbasis_tpu.diffusion.schedules import (make_ddim_schedule,
+                                                    make_schedule)
+    from celebbasis_tpu.models.unet import UNetConfig, UNetModel
+
+    cfg = UNetConfig.sd_v1()
+    model = UNetModel(cfg, dtype=jnp.bfloat16)
+    B, H, STEPS = 1, 64, 50
+    x = jnp.zeros((B, H, H, 4), jnp.float32)
+    t0c = jnp.zeros((B,), jnp.int32)
+    ctx = jax.random.normal(jax.random.key(1), (B, 77, cfg.context_dim)) * 0.02
+    uncond = jnp.zeros_like(ctx)
+    params = jax.jit(model.init)(jax.random.key(0), x, t0c, ctx)
+
+    ddim = make_ddim_schedule(make_schedule(), STEPS, eta=0.0)
+
+    def eps_model(xx, tt, cc):
+        return model.apply(params, xx, tt, cc)
+
+    run = jax.jit(lambda rng: ddim_sample(
+        eps_model, ddim, rng=rng, shape=(B, H, H, 4), cond=ctx,
+        uncond=uncond, cfg=SamplerConfig(guidance_scale=10.0)))
+
+    # compile + warmup
+    run(jax.random.key(2)).block_until_ready()
+    n_rep = 3
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        run(jax.random.key(3 + i)).block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+    steps_per_sec = STEPS / dt
+
+    print(json.dumps({
+        "metric": "512x512 DDIM denoise steps/sec/chip (CFG, SD v1.4 UNet bf16)",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / A100_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

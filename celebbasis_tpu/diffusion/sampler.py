@@ -1,0 +1,164 @@
+"""Jitted DDIM / PLMS samplers — `lax.scan` over precomputed step constants.
+
+TPU-native redesign of the reference's Python sampling loops
+(`/root/reference/ldm/models/diffusion/ddim.py:113-204`,
+`plms.py:119-236`): the whole 50-step loop (including classifier-free
+guidance) is a single compiled scan, so there is no host round-trip per step
+and XLA can pipeline the UNet calls.
+
+CFG follows the reference exactly: batch-double ``[uncond; cond]``, one UNet
+call, ``e = e_u + scale * (e_c - e_u)`` (ddim.py:174-178).  The update rule is
+the eta=0 deterministic DDIM step (ddim.py:194-204), generalized to eta>0 with
+the same sigma definition.  PLMS keeps the 4-term Adams-Bashforth eps buffer
+(plms.py:173-236) as scan carry — fixed shape, no Python-side state.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from celebbasis_tpu.diffusion.schedules import DDIMSchedule
+
+# eps_model(x, t, context) -> eps; shapes (B,H,W,4), (B,), (B,L,D)
+EpsModel = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+class SamplerConfig(NamedTuple):
+    guidance_scale: float = 7.5
+    eta: float = 0.0
+    temperature: float = 1.0
+
+
+def _step_constants(ddim: DDIMSchedule):
+    """Stack per-step scalars in *descending* time order for the scan."""
+    order = slice(None, None, -1)
+    return (
+        jnp.asarray(ddim.timesteps[order].copy(), jnp.int32),
+        jnp.asarray(ddim.alphas[order].copy(), jnp.float32),
+        jnp.asarray(ddim.alphas_prev[order].copy(), jnp.float32),
+        jnp.asarray(ddim.sqrt_one_minus_alphas[order].copy(), jnp.float32),
+        jnp.asarray(ddim.sigmas[order].copy(), jnp.float32),
+    )
+
+
+def guided_eps(eps_model: EpsModel, x, t, cond, uncond, scale):
+    """Classifier-free guidance with a single batched UNet call."""
+    B = x.shape[0]
+    x_in = jnp.concatenate([x, x])
+    t_in = jnp.concatenate([t, t])
+    c_in = jnp.concatenate([uncond, cond])
+    e = eps_model(x_in, t_in, c_in)
+    e_u, e_c = e[:B], e[B:]
+    return e_u + scale * (e_c - e_u)
+
+
+def ddim_step(x, eps, a_t, a_prev, sqrt_oma, sigma, noise):
+    """One deterministic-ish DDIM update (ddim.py:194-204)."""
+    pred_x0 = (x - sqrt_oma * eps) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma ** 2, 0.0)) * eps
+    return jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * noise, pred_x0
+
+
+def ddim_sample(eps_model: EpsModel, ddim: DDIMSchedule, *,
+                rng: jax.Array, shape, cond: jax.Array,
+                uncond: jax.Array | None = None,
+                cfg: SamplerConfig = SamplerConfig(),
+                x_T: jax.Array | None = None) -> jax.Array:
+    """Run the full DDIM chain; returns final latents (B,H,W,C).
+
+    Jittable end-to-end: wrap in jax.jit with eps_model closed over params.
+    """
+    ts, alphas, alphas_prev, sqrt_omas, sigmas = _step_constants(ddim)
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape) if x_T is None else x_T
+    use_cfg = uncond is not None and cfg.guidance_scale != 1.0
+    step_rngs = jax.random.split(rng, ddim.num_steps)
+
+    def body(x, per_step):
+        t, a_t, a_prev, sqrt_oma, sigma, step_rng = per_step
+        tb = jnp.full((shape[0],), t, jnp.int32)
+        if use_cfg:
+            eps = guided_eps(eps_model, x, tb, cond, uncond, cfg.guidance_scale)
+        else:
+            eps = eps_model(x, tb, cond)
+        noise = jax.random.normal(step_rng, x.shape) * cfg.temperature
+        x, _ = ddim_step(x, eps, a_t, a_prev, sqrt_oma, sigma, noise)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (ts, alphas, alphas_prev, sqrt_omas, sigmas,
+                                  step_rngs))
+    return x
+
+
+def plms_sample(eps_model: EpsModel, ddim: DDIMSchedule, *,
+                rng: jax.Array, shape, cond: jax.Array,
+                uncond: jax.Array | None = None,
+                cfg: SamplerConfig = SamplerConfig(),
+                x_T: jax.Array | None = None) -> jax.Array:
+    """PLMS (pseudo linear multi-step) sampler, reference plms.py:119-236.
+
+    The old-eps history is a fixed (4, B, H, W, C) carry; the multi-step
+    combination is selected with lax.switch on the history length.
+    """
+    ts, alphas, alphas_prev, sqrt_omas, sigmas = _step_constants(ddim)
+    # t_next for the second eps evaluation (plms.py:170: t_prev per step)
+    ts_next = jnp.concatenate([ts[1:], jnp.array([0], jnp.int32)])
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape) if x_T is None else x_T
+    use_cfg = uncond is not None and cfg.guidance_scale != 1.0
+
+    def eps_fn(x, t):
+        tb = jnp.full((shape[0],), t, jnp.int32)
+        if use_cfg:
+            return guided_eps(eps_model, x, tb, cond, uncond, cfg.guidance_scale)
+        return eps_model(x, tb, cond)
+
+    def x_prev_from(x, eps, a_t, a_prev, sqrt_oma):
+        x_prev, _ = ddim_step(x, eps, a_t, a_prev, sqrt_oma, 0.0, 0.0)
+        return x_prev
+
+    def body(carry, per_step):
+        x, old_eps, n_old = carry
+        i, t, t_next, a_t, a_prev, sqrt_oma = per_step
+        eps = eps_fn(x, t)
+
+        def first_order():
+            # 1st step: eps' = (eps + eps(x_prev, t_next)) / 2
+            x_prev0 = x_prev_from(x, eps, a_t, a_prev, sqrt_oma)
+            e_next = eps_fn(x_prev0, t_next)
+            return (eps + e_next) / 2
+
+        def second_order():
+            return (3 * eps - old_eps[0]) / 2
+
+        def third_order():
+            return (23 * eps - 16 * old_eps[0] + 5 * old_eps[1]) / 12
+
+        def fourth_order():
+            return (55 * eps - 59 * old_eps[0] + 37 * old_eps[1]
+                    - 9 * old_eps[2]) / 24
+
+        eps_prime = jax.lax.switch(jnp.minimum(n_old, 3),
+                                   [first_order, second_order, third_order,
+                                    fourth_order])
+        x_new = x_prev_from(x, eps_prime, a_t, a_prev, sqrt_oma)
+        # shift history: newest first
+        old_eps = jnp.concatenate([eps[None], old_eps[:-1]])
+        return (x_new, old_eps, jnp.minimum(n_old + 1, 3)), None
+
+    old_eps0 = jnp.zeros((3,) + tuple(shape), x.dtype)
+    idx = jnp.arange(ddim.num_steps, dtype=jnp.int32)
+    (x, _, _), _ = jax.lax.scan(
+        body, (x, old_eps0, jnp.int32(0)),
+        (idx, ts, ts_next, alphas, alphas_prev, sqrt_omas))
+    return x
+
+
+def stochastic_encode(x0, ddim_index, ddim: DDIMSchedule, rng):
+    """img2img forward noising at a DDIM index (ddim.py:206-220)."""
+    a = jnp.asarray(ddim.alphas, jnp.float32)[ddim_index]
+    noise = jax.random.normal(rng, x0.shape)
+    return jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * noise

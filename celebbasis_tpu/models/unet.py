@@ -1,0 +1,237 @@
+"""Stable Diffusion v1 UNet in Flax — NHWC, bf16 compute, MXU-friendly.
+
+Structural parity with the reference UNetModel
+(`/root/reference/ldm/modules/diffusionmodules/openaimodel.py:413-742`) and its
+SD v1.4 config (`configs/stable-diffusion/aigc_id.yaml:39-54`):
+model_channels 320, channel_mult [1,2,4,4], 2 res blocks/level, spatial
+transformers (depth 1, context 768) at downsample rates {1,2,4}, 8 heads,
+middle block Res+Attn+Res, skip-concat decoder with 3 blocks/level.
+
+TPU-first design deltas (not a port):
+* NHWC layout end to end (TPU conv native layout; torch weights are
+  transposed once at bridge time, see ``celebbasis_tpu.utils.bridge``);
+* bf16 compute / fp32 params + fp32 GroupNorm & softmax;
+* attention through the shared backend-switchable core
+  (``celebbasis_tpu.ops.attention``) so the Pallas flash kernel drops in;
+* optional ``remat`` per transformer/res block instead of the reference's
+  autograd checkpoint Function (`diffusionmodules/util.py:102-148`);
+* no data-dependent Python control flow — the module tree is static, jit
+  traces once.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from celebbasis_tpu.ops.attention import attention
+from celebbasis_tpu.ops.basic import GroupNorm, LayerNorm, ZeroConv, timestep_embedding
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (4, 2, 1)
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: int = 768
+    dropout: float = 0.0
+    remat: bool = False
+
+    @staticmethod
+    def sd_v1() -> "UNetConfig":
+        return UNetConfig()
+
+    @staticmethod
+    def tiny(context_dim: int = 64) -> "UNetConfig":
+        return UNetConfig(model_channels=32, channel_mult=(1, 2), num_heads=4,
+                          context_dim=context_dim, num_res_blocks=1,
+                          attention_resolutions=(1, 2))
+
+
+class ResBlock(nn.Module):
+    """GN→SiLU→conv, +time-emb, GN→SiLU→zero-conv, residual (openaimodel.py:163-277)."""
+    out_ch: int
+    dtype: jnp.dtype
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic=True):
+        h = GroupNorm(name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(h)
+        emb_out = nn.Dense(self.out_ch, dtype=self.dtype, param_dtype=jnp.float32,
+                           name="emb_proj")(nn.silu(emb))
+        h = h + emb_out[:, None, None, :]
+        h = GroupNorm(name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = ZeroConv(self.out_ch, dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name="skip")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """QKV projections (no bias) + out projection (attention.py:152-193)."""
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="to_v")(context)
+        out = attention(q, k, v, num_heads=self.heads)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, param_dtype=jnp.float32,
+                        name="to_out")(out)
+
+
+class FeedForwardGEGLU(nn.Module):
+    """GEGLU MLP: proj to 2*4d, x*gelu(gate), back to d (attention.py:196-215)."""
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        h = nn.Dense(d * 8, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
+                               name="attn1")(LayerNorm(name="norm1")(x))
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
+                               name="attn2")(LayerNorm(name="norm2")(x), context)
+        x = x + FeedForwardGEGLU(self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN → 1x1 in → transformer blocks on (B,HW,C) tokens → zero 1x1 out + res
+    (attention.py:218-261)."""
+    heads: int
+    depth: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, context):
+        B, H, W, C = x.shape
+        h = GroupNorm(name="norm")(x)
+        h = nn.Conv(C, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name="proj_in")(h)
+        h = h.reshape(B, H * W, C)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(self.heads, C // self.heads, self.dtype,
+                                      name=f"block_{i}")(h, context)
+        h = h.reshape(B, H, W, C)
+        h = nn.Conv(C, (1, 1), kernel_init=nn.initializers.zeros,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="proj_out")(h)
+        return x + h
+
+
+class UNetModel(nn.Module):
+    cfg: UNetConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def _res(self, out_ch, name):
+        block = ResBlock(out_ch, self.dtype, self.cfg.dropout, name=name)
+        return block
+
+    @nn.compact
+    def __call__(self, x: jax.Array, timesteps: jax.Array,
+                 context: jax.Array) -> jax.Array:
+        """x: (B, H, W, 4) latents; timesteps: (B,); context: (B, 77, 768).
+
+        Returns eps prediction (B, H, W, 4) in float32.
+        """
+        cfg = self.cfg
+        ch0 = cfg.model_channels
+        Res = nn.remat(ResBlock) if cfg.remat else ResBlock
+        Attn = nn.remat(SpatialTransformer, static_argnums=()) if cfg.remat \
+            else SpatialTransformer
+
+        t_emb = timestep_embedding(timesteps, ch0)
+        emb = nn.Dense(ch0 * 4, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="time_fc1")(t_emb.astype(self.dtype))
+        emb = nn.Dense(ch0 * 4, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="time_fc2")(nn.silu(emb))
+
+        x = x.astype(self.dtype)
+        context = context.astype(self.dtype)
+
+        h = nn.Conv(ch0, (3, 3), padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv_in")(x)
+        skips = [h]
+        ds = 1
+        # --- encoder ---
+        for level, mult in enumerate(cfg.channel_mult):
+            ch = ch0 * mult
+            for j in range(cfg.num_res_blocks):
+                h = Res(ch, self.dtype, cfg.dropout,
+                        name=f"down_{level}_res_{j}")(h, emb)
+                if ds in cfg.attention_resolutions:
+                    h = Attn(cfg.num_heads, cfg.transformer_depth, self.dtype,
+                             name=f"down_{level}_attn_{j}")(h, context)
+                skips.append(h)
+            if level != len(cfg.channel_mult) - 1:
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name=f"down_{level}_downsample")(h)
+                skips.append(h)
+                ds *= 2
+        # --- middle ---
+        ch = ch0 * cfg.channel_mult[-1]
+        h = Res(ch, self.dtype, cfg.dropout, name="mid_res_0")(h, emb)
+        h = Attn(cfg.num_heads, cfg.transformer_depth, self.dtype,
+                 name="mid_attn")(h, context)
+        h = Res(ch, self.dtype, cfg.dropout, name="mid_res_1")(h, emb)
+        # --- decoder ---
+        for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+            ch = ch0 * mult
+            for j in range(cfg.num_res_blocks + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = Res(ch, self.dtype, cfg.dropout,
+                        name=f"up_{level}_res_{j}")(h, emb)
+                if ds in cfg.attention_resolutions:
+                    h = Attn(cfg.num_heads, cfg.transformer_depth, self.dtype,
+                             name=f"up_{level}_attn_{j}")(h, context)
+            if level != 0:
+                B, H, W, C = h.shape
+                h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
+                h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            name=f"up_{level}_upsample")(h)
+                ds //= 2
+        assert not skips
+        h = GroupNorm(name="norm_out")(h)
+        h = nn.silu(h)
+        h = ZeroConv(cfg.out_channels, dtype=self.dtype, name="conv_out")(h)
+        return h.astype(jnp.float32)

@@ -1,0 +1,96 @@
+"""Device mesh + sharding rules (DP primary, optional TP) — SPMD via GSPMD.
+
+The reference's only distribution strategy is Lightning DDP over NCCL
+(`/root/reference/main_id_embed.py:597`; SURVEY §2.5).  The TPU equivalent is
+a 1-D ``data`` mesh over ICI: batch sharded, frozen params replicated, and the
+tiny MLP gradients all-reduced by XLA (bytes — negligible on ICI).
+
+Beyond parity, a 2-D ``(data, model)`` mesh is supported: UNet/CLIP attention
+QKV and MLP weights shard column-parallel on 'model' with row-parallel output
+projections (Megatron layout), expressed purely as parameter
+``PartitionSpec`` rules — GSPMD inserts the all-reduces.  No module code
+changes; layouts ride ``NamedSharding`` on the param pytree.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n_total = len(devices)
+    if n_data is None:
+        n_data = n_total // n_model
+    assert n_data * n_model <= n_total, (n_data, n_model, n_total)
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Megatron-style tensor-parallel rules: (regex on the flattened param path,
+# PartitionSpec). First match wins; default replicated.
+_TP_RULES = [
+    # attention: column-parallel QKV, row-parallel output
+    (re.compile(r"(to_q|to_k|to_v|q_proj|k_proj|v_proj)/kernel"), P(None, "model")),
+    (re.compile(r"(to_q|to_k|to_v|q_proj|k_proj|v_proj)/bias"), P("model")),
+    (re.compile(r"(to_out|out_proj)/kernel"), P("model", None)),
+    # MLP: column then row
+    (re.compile(r"(ff/proj_in|fc1)/kernel"), P(None, "model")),
+    (re.compile(r"(ff/proj_in|fc1)/bias"), P("model")),
+    (re.compile(r"(ff/proj_out|fc2)/kernel"), P("model", None)),
+    # conv output channels (channel-parallel convs in res blocks)
+    (re.compile(r"(conv1)/kernel"), P(None, None, None, "model")),
+    (re.compile(r"(conv1)/bias"), P("model")),
+    (re.compile(r"(conv2|skip)/kernel"), P(None, None, "model", None)),
+]
+
+
+def param_partition_spec(path: str, ndim: int, use_tp: bool) -> P:
+    if use_tp:
+        for rx, spec in _TP_RULES:
+            if rx.search(path):
+                if len([s for s in spec if s is not None]) and ndim == len(spec):
+                    return spec
+    return P()
+
+
+def shard_params(params: Any, mesh: Mesh, use_tp: bool = False) -> Any:
+    """Place a param pytree on the mesh (replicated, or TP-sharded if 2-D)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    out = []
+    for path, leaf in flat:
+        name = jax.tree_util.keystr(path, simple=True, separator="/")
+        spec = param_partition_spec(name, getattr(leaf, "ndim", 0), use_tp)
+        out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def param_shardings(params: Any, mesh: Mesh, use_tp: bool = False) -> Any:
+    """The NamedSharding pytree (for jit in_shardings) without placing data."""
+    def one(path, leaf):
+        name = jax.tree_util.keystr(path, simple=True, separator="/")
+        return NamedSharding(mesh,
+                             param_partition_spec(name,
+                                                  getattr(leaf, "ndim", 0),
+                                                  use_tp))
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Shard every array's leading (batch) axis over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)

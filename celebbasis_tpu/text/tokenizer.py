@@ -78,6 +78,9 @@ class SyntheticVocab:
     """
 
     def __init__(self, size: int = 49408):
+        if size < 514:
+            raise ValueError("synthetic vocab needs >= 514 entries "
+                             "(512 byte tokens + SOT/EOT)")
         byte_vocab = list(bytes_to_unicode().values())
         tokens = byte_vocab + [c + "</w>" for c in byte_vocab]
         n_filler = size - len(tokens) - 2

@@ -1,0 +1,127 @@
+"""Personalization training step — coefficient-only backprop, jit/pjit-ready.
+
+The reference trains via Lightning (`/root/reference/main_id_embed.py:812`,
+`ddpm.py:921-1116`): VAE-encode the image (no-grad), draw t and noise,
+run the CLIP encoder with the embedding manager injecting MetaIdNet's
+predicted identity embeddings, predict eps with the frozen UNet, and take
+AdamW steps on **only** the StyleVectorizer MLP
+(`ddpm.py:1442-1466` — ~0.5M params; everything else frozen).
+
+TPU-native design:
+* one pure function ``train_step`` holding the entire graph; params are split
+  into ``frozen`` (UNet+VAE+CLIP+FR-net) and ``trainable`` (MLP) pytrees —
+  ``jax.grad`` differentiates w.r.t. the trainable tree only, so XLA never
+  materializes gradients for the 860M frozen weights (SURVEY §7.1);
+* the momentum dictionaries ride inside the carried ``ManagerState``;
+* data-parallel: batch axis sharded over the mesh 'data' axis; the tiny MLP
+  grads are combined by the mesh-aware jit (psum under the hood);
+* loss parity: eps-MSE (+ optional l1/l2 coefficient regularizers,
+  embedding_manager.py:514-529).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from celebbasis_tpu.core import manager as mgr
+from celebbasis_tpu.core.meta_net import MetaIdNet
+from celebbasis_tpu.diffusion import ddpm
+from celebbasis_tpu.models.clip_text import CLIPTextEncoder
+from celebbasis_tpu.models.vae import AutoencoderKL, sample_posterior
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    trainable: Any            # MetaIdNet MLP params subtree
+    opt_state: Any
+    manager_state: mgr.ManagerState
+    rng: jax.Array
+
+
+def split_meta_params(meta_params: Dict) -> Tuple[Dict, Dict]:
+    """Partition MetaIdNet params into (trainable mlp/coef_table, frozen rest)."""
+    inner = meta_params["params"]
+    trainable = {k: v for k, v in inner.items() if k in ("mlp", "coef_table")}
+    frozen = {k: v for k, v in inner.items() if k not in trainable}
+    return {"params": trainable}, {"params": frozen}
+
+
+def merge_meta_params(trainable: Dict, frozen: Dict) -> Dict:
+    return {"params": {**trainable["params"], **frozen["params"]}}
+
+
+def make_optimizer(lr: float = 1e-2) -> optax.GradientTransformation:
+    """AdamW, reference LR recipe: base 5e-3 scaled by batch (=1e-2 at bs2)
+    (main_id_embed.py:778-782, ddpm.py:1454)."""
+    return optax.adamw(lr)
+
+
+def make_train_step(pipeline, meta_net: MetaIdNet,
+                    optimizer: optax.GradientTransformation,
+                    loss_type: str = "none"):
+    """Returns jit-able ``step_fn(state, frozen_params, basis, batch)``.
+
+    batch dict: image (B,H,W,3) in [-1,1]; tokens (B,77) int32;
+    faces (B,k,Hf,Wf,3); ids (B,k) int32; num_ids (B,) int32.
+    frozen_params: {"unet","vae","clip","meta_frozen"}.
+    """
+    sched = ddpm.ScheduleArrays.from_schedule(pipeline.schedule)
+    m_cfg = pipeline.manager_cfg
+    scale = pipeline.cfg.scale_factor
+    T = pipeline.cfg.timesteps
+
+    def loss_fn(trainable, frozen, manager_state, basis, batch, rng):
+        rng_z, rng_t, rng_eps = jax.random.split(rng, 3)
+        # 1. frozen VAE encode + posterior sample (ddpm.py:702-759)
+        mean, logvar = pipeline.vae.apply(frozen["vae"], batch["image"],
+                                          method=AutoencoderKL.encode)
+        z0 = sample_posterior(rng_z, mean, logvar) * scale
+        z0 = jax.lax.stop_gradient(z0)
+        B = z0.shape[0]
+        # 2. diffusion draw
+        t = jax.random.randint(rng_t, (B,), 0, T)
+        noise = jax.random.normal(rng_eps, z0.shape)
+        z_t = ddpm.q_sample(sched, z0, t, noise)
+        # 3. identity prediction + injection + text encoding
+        meta_params = merge_meta_params(trainable, frozen["meta_frozen"])
+        pred_z, pred_coeff = meta_net.apply(
+            meta_params, batch["faces"], batch["ids"], basis,
+            method=MetaIdNet.multi_faces)
+        embeds = pipeline.clip.apply(frozen["clip"], batch["tokens"],
+                                     method=CLIPTextEncoder.token_embed)
+        new_embeds, new_mstate = mgr.train_inject(
+            m_cfg, manager_state, batch["tokens"], embeds, pred_z, pred_coeff,
+            batch["ids"], batch["num_ids"])
+        context = pipeline.clip.apply(frozen["clip"], new_embeds,
+                                      method=CLIPTextEncoder.encode)
+        # 4. frozen UNet eps prediction + loss
+        eps_pred = pipeline.unet.apply(frozen["unet"], z_t, t, context)
+        loss, logs = ddpm.eps_mse_loss(eps_pred, noise)
+        reg = mgr.coefficient_reg_loss(loss_type,
+                                       pred_coeff.reshape(-1, pred_coeff.shape[-1]))
+        loss = loss + reg
+        logs["loss_reg"] = reg
+        return loss, (new_mstate, logs)
+
+    def step_fn(state: TrainState, frozen, basis, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        grads, (new_mstate, logs) = jax.grad(loss_fn, has_aux=True)(
+            state.trainable, frozen, state.manager_state, basis, batch,
+            step_rng)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        return TrainState(state.step + 1, new_trainable, new_opt, new_mstate,
+                          rng), logs
+
+    return step_fn
+
+
+def init_train_state(rng: jax.Array, trainable, optimizer,
+                     manager_state: mgr.ManagerState) -> TrainState:
+    return TrainState(jnp.zeros((), jnp.int32), trainable,
+                      optimizer.init(trainable), manager_state, rng)

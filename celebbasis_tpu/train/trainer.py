@@ -1,0 +1,163 @@
+"""Personalization trainer — the reference's Lightning driver, TPU-native.
+
+Replaces `/root/reference/main_id_embed.py` (854 LoC of Lightning glue):
+
+* run-dir layout contract kept: ``logs/<name><timestamp>_<suffix>/
+  {checkpoints,configs,images}`` — downstream scripts derive config paths
+  from the folder name (02_start_test.sh:24-27);
+* LR recipe: ``lr = accumulate x n_shards x batch x base_lr`` when
+  ``scale_lr`` (main_id_embed.py:769-782; 2 x 5e-3 = 1e-2 default);
+* ``embeddings_gs-{step}.pt`` checkpoints every ``ckpt_every`` steps in the
+  reference schema (ddpm.py:1519-1528 clears the Lightning ckpt and keeps
+  only these);
+* SIGUSR1/SIGINT -> immediate checkpoint ("melk", main_id_embed.py:789-807);
+* per-step jsonl metrics + wall-time/step trace in place of
+  TestTube/CUDACallback (main_id_embed.py:450-470);
+* data-parallel over the mesh 'data' axis: batch sharded, frozen params
+  replicated, MLP grads all-reduced by GSPMD.
+"""
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import signal
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from celebbasis_tpu.core import manager as mgr
+from celebbasis_tpu.core.meta_net import MetaIdNet, MetaNetConfig
+from celebbasis_tpu.data.face_id import (FaceIdDataset, FaceIdDatasetConfig,
+                                         PrefetchLoader)
+from celebbasis_tpu.parallel import mesh as pmesh
+from celebbasis_tpu.train import step as tstep
+
+
+@dataclass
+class TrainerConfig:
+    name: str = "aigc_id"
+    logdir: str = "logs"
+    suffix: str = ""
+    max_steps: int = 800
+    ckpt_every: int = 200
+    batch_size: int = 2
+    base_lr: float = 5.0e-3
+    scale_lr: bool = True
+    accumulate: int = 1
+    loss_type: str = "none"
+    log_every: int = 10
+    seed: int = 23
+    n_data_shards: int = 1
+
+
+def make_run_dir(cfg: TrainerConfig, now: Optional[str] = None) -> str:
+    now = now or datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+    suffix = f"_{cfg.suffix}" if cfg.suffix else ""
+    run = os.path.join(cfg.logdir, f"{now}_{cfg.name}{suffix}")
+    for sub in ("checkpoints", "configs", "images"):
+        os.makedirs(os.path.join(run, sub), exist_ok=True)
+    return run
+
+
+def effective_lr(cfg: TrainerConfig) -> float:
+    if cfg.scale_lr:
+        return (cfg.accumulate * cfg.n_data_shards * cfg.batch_size
+                * cfg.base_lr)
+    return cfg.base_lr
+
+
+class Trainer:
+    def __init__(self, pipeline, meta_net: MetaIdNet, frozen_params: Dict,
+                 basis, loader: PrefetchLoader, cfg: TrainerConfig,
+                 mesh=None, run_dir: Optional[str] = None):
+        self.pipeline = pipeline
+        self.meta_net = meta_net
+        self.cfg = cfg
+        self.loader = loader
+        self.run_dir = run_dir or make_run_dir(cfg)
+        self.mesh = mesh
+        self.metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
+
+        lr = effective_lr(cfg)
+        self.optimizer = tstep.make_optimizer(lr)
+        step_fn = tstep.make_train_step(pipeline, meta_net, self.optimizer,
+                                        loss_type=cfg.loss_type)
+        self.jit_step = jax.jit(step_fn, donate_argnums=(0,))
+
+        if mesh is not None:
+            self.frozen = pmesh.shard_params(frozen_params, mesh)
+            self.basis = jax.device_put(basis, pmesh.replicated(mesh))
+        else:
+            self.frozen = frozen_params
+            self.basis = jnp.asarray(basis)
+        self._interrupted = False
+
+    # -- checkpointing ("melk") --------------------------------------------
+    def save(self, state: tstep.TrainState, tag: Optional[str] = None):
+        step = int(state.step)
+        name = tag or f"embeddings_gs-{step}.pt"
+        path = os.path.join(self.run_dir, "checkpoints", name)
+        mgr.save_checkpoint(self.pipeline.manager_cfg, state.manager_state,
+                            path)
+        return path
+
+    def _install_signal_handlers(self, get_state):
+        def melk(signum, frame):
+            print(f"[trainer] signal {signum}: checkpointing to last.pt")
+            self.save(get_state(), tag="embeddings_last.pt")
+            self._interrupted = True
+        try:
+            signal.signal(signal.SIGUSR1, melk)
+        except (ValueError, OSError):  # non-main thread
+            pass
+
+    # -- main loop ----------------------------------------------------------
+    def fit(self, state: tstep.TrainState) -> tstep.TrainState:
+        cfg = self.cfg
+        current = {"state": state}
+        self._install_signal_handlers(lambda: current["state"])
+        log_f = open(self.metrics_path, "a")
+        step = int(state.step)
+        t_start = time.perf_counter()
+        try:
+            while step < cfg.max_steps and not self._interrupted:
+                for batch in self.loader:
+                    if step >= cfg.max_steps or self._interrupted:
+                        break
+                    dev_batch = {
+                        "image": jnp.asarray(batch["image"]),
+                        "tokens": jnp.asarray(batch["tokens"]),
+                        "faces": jnp.asarray(batch["faces"]),
+                        "ids": jnp.asarray(batch["ids"]),
+                        "num_ids": jnp.asarray(batch["num_ids"]),
+                    }
+                    if self.mesh is not None:
+                        dev_batch = pmesh.shard_batch(dev_batch, self.mesh)
+                    t0 = time.perf_counter()
+                    state, logs = self.jit_step(current["state"], self.frozen,
+                                                self.basis, dev_batch)
+                    current["state"] = state
+                    step = int(state.step)
+                    if step % cfg.log_every == 0 or step == 1:
+                        loss = float(logs["loss"])
+                        rec = {"step": step, "loss": loss,
+                               "loss_simple": float(logs["loss_simple"]),
+                               "step_time_s": time.perf_counter() - t0,
+                               "wall_s": time.perf_counter() - t_start}
+                        log_f.write(json.dumps(rec) + "\n")
+                        log_f.flush()
+                    if step % cfg.ckpt_every == 0:
+                        self.save(state)
+        except KeyboardInterrupt:
+            print("[trainer] interrupted — saving last checkpoint")
+            self.save(current["state"], tag="embeddings_last.pt")
+            raise
+        finally:
+            log_f.close()
+        self.save(current["state"])
+        return current["state"]

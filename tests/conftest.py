@@ -9,7 +9,9 @@ import time of conftest (pytest imports conftest before test modules).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image exports JAX_PLATFORMS=axon (the tunneled real TPU); tests must run
+# on the virtual CPU mesh, so override unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +20,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The image's sitecustomize registers the axon TPU plugin and force-sets
+# jax_platforms="axon,cpu", overriding the env var — undo it before any
+# backend initializes so tests stay on the virtual 8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
