@@ -26,6 +26,7 @@ import flax.linen as nn
 class IResNetConfig:
     layers: Tuple[int, int, int, int] = (3, 13, 30, 3)  # r100
     feat_dim: int = 512
+    base: int = 64          # stem width; levels are base * (1,2,4,8)
     input_size: int = 112
 
     @staticmethod
@@ -42,7 +43,7 @@ class IResNetConfig:
 
     @staticmethod
     def tiny() -> "IResNetConfig":
-        return IResNetConfig((1, 1, 1, 1), feat_dim=64, input_size=32)
+        return IResNetConfig((1, 1, 1, 1), feat_dim=64, base=8, input_size=32)
 
 
 class FrozenBN(nn.Module):
@@ -110,7 +111,7 @@ class IResNet(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: (B, S, S, 3) in [-1, 1] -> (B, feat_dim) float32 id features."""
         cfg = self.cfg
-        base = 64 if cfg.feat_dim == 512 else cfg.feat_dim // 8
+        base = cfg.base
         h = nn.Conv(base, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="stem_conv")(x.astype(self.dtype))

@@ -1,0 +1,320 @@
+"""Torch checkpoint -> Flax param-pytree bridge for the pretrained zoo.
+
+Converts the reference's pretrained weights into this framework's layouts
+(SURVEY §7.2 step 1 — "hard part #1: exact key mapping"):
+
+* ``sd-v1-4-full-ema.ckpt`` — keys prefixed ``model.diffusion_model.*``
+  (UNet), ``first_stage_model.*`` (VAE), ``cond_stage_model.transformer.*``
+  (HF CLIP text), see reference ``ddpm.py:195-217`` / ``main_id_embed.py:25-44``
+  (strict=False load);
+* ``glint360k_cosface_r100_fp16_0.1/backbone.pth`` — IResNet-100
+  (meta_net.py:348-355);
+
+Layout transforms (torch -> TPU-native):
+  conv OIHW -> HWIO; linear (out,in) -> (in,out); GroupNorm/LayerNorm/BN
+  weight/bias -> scale/bias (+ running stats -> mean/var params for the
+  frozen-BN face nets); PReLU weight -> alpha.
+
+Loading uses the torch-free ``pt_io`` reader, so the runtime never imports
+torch. Missing keys raise with a precise diff so partial checkpoints surface
+immediately instead of silently random-initializing.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Tuple
+
+import numpy as np
+
+from celebbasis_tpu.models.unet import UNetConfig
+
+
+def _conv(w):   # OIHW -> HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _lin(w):    # (out,in) -> (in,out)
+    return np.transpose(w, (1, 0))
+
+
+class KeyMap:
+    """Accumulates src->dst assignments and reports missing/unused keys."""
+
+    def __init__(self, src: Dict[str, np.ndarray]):
+        self.src = src
+        self.used = set()
+        self.out: Dict[str, np.ndarray] = {}
+
+    def take(self, key: str) -> np.ndarray:
+        if key not in self.src:
+            raise KeyError(f"checkpoint missing key: {key}")
+        self.used.add(key)
+        return np.asarray(self.src[key], np.float32)
+
+    def has(self, key: str) -> bool:
+        return key in self.src
+
+    def put(self, dst: str, value: np.ndarray):
+        self.out[dst] = value
+
+    def conv(self, dst: str, src: str):
+        self.put(f"{dst}/kernel", _conv(self.take(f"{src}.weight")))
+        if self.has(f"{src}.bias"):
+            self.put(f"{dst}/bias", self.take(f"{src}.bias"))
+
+    def linear(self, dst: str, src: str, bias=True):
+        self.put(f"{dst}/kernel", _lin(self.take(f"{src}.weight")))
+        if bias and self.has(f"{src}.bias"):
+            self.put(f"{dst}/bias", self.take(f"{src}.bias"))
+
+    def norm(self, dst: str, src: str):
+        self.put(f"{dst}/scale", self.take(f"{src}.weight"))
+        self.put(f"{dst}/bias", self.take(f"{src}.bias"))
+
+    def bn(self, dst: str, src: str):
+        self.norm(dst, src)
+        self.put(f"{dst}/mean", self.take(f"{src}.running_mean"))
+        self.put(f"{dst}/var", self.take(f"{src}.running_var"))
+
+    def unused(self, prefix: str = "") -> List[str]:
+        return sorted(k for k in self.src
+                      if k.startswith(prefix) and k not in self.used)
+
+
+def unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    """'a/b/c' keys -> nested dict {'a': {'b': {'c': ...}}}."""
+    out: Dict[str, Any] = {}
+    for key, val in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out
+
+
+# ---------------------------------------------------------------------------
+# UNet
+# ---------------------------------------------------------------------------
+
+def _map_resblock(km: KeyMap, dst: str, src: str):
+    km.norm(f"{dst}/norm1/GroupNorm_0", f"{src}.in_layers.0")
+    km.conv(f"{dst}/conv1", f"{src}.in_layers.2")
+    km.linear(f"{dst}/emb_proj", f"{src}.emb_layers.1")
+    km.norm(f"{dst}/norm2/GroupNorm_0", f"{src}.out_layers.0")
+    km.conv(f"{dst}/conv2/Conv_0", f"{src}.out_layers.3")
+    if km.has(f"{src}.skip_connection.weight"):
+        km.conv(f"{dst}/skip", f"{src}.skip_connection")
+
+
+def _map_spatial(km: KeyMap, dst: str, src: str, depth: int):
+    km.norm(f"{dst}/norm/GroupNorm_0", f"{src}.norm")
+    km.conv(f"{dst}/proj_in", f"{src}.proj_in")
+    for d in range(depth):
+        b_src = f"{src}.transformer_blocks.{d}"
+        b_dst = f"{dst}/block_{d}"
+        for n in (1, 2, 3):
+            km.norm(f"{b_dst}/norm{n}/LayerNorm_0", f"{b_src}.norm{n}")
+        for a in ("attn1", "attn2"):
+            km.linear(f"{b_dst}/{a}/to_q", f"{b_src}.{a}.to_q", bias=False)
+            km.linear(f"{b_dst}/{a}/to_k", f"{b_src}.{a}.to_k", bias=False)
+            km.linear(f"{b_dst}/{a}/to_v", f"{b_src}.{a}.to_v", bias=False)
+            km.linear(f"{b_dst}/{a}/to_out", f"{b_src}.{a}.to_out.0")
+        km.linear(f"{b_dst}/ff/proj_in", f"{b_src}.ff.net.0.proj")
+        km.linear(f"{b_dst}/ff/proj_out", f"{b_src}.ff.net.2")
+    km.conv(f"{dst}/proj_out", f"{src}.proj_out")
+
+
+def convert_unet(state: Dict[str, np.ndarray],
+                 cfg: UNetConfig = UNetConfig.sd_v1(),
+                 prefix: str = "model.diffusion_model.") -> Dict:
+    src = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+    km = KeyMap(src)
+    km.linear("time_fc1", "time_embed.0")
+    km.linear("time_fc2", "time_embed.2")
+    km.conv("conv_in", "input_blocks.0.0")
+
+    idx = 1
+    ds = 1
+    for level in range(len(cfg.channel_mult)):
+        for j in range(cfg.num_res_blocks):
+            _map_resblock(km, f"down_{level}_res_{j}", f"input_blocks.{idx}.0")
+            if ds in cfg.attention_resolutions:
+                _map_spatial(km, f"down_{level}_attn_{j}",
+                             f"input_blocks.{idx}.1", cfg.transformer_depth)
+            idx += 1
+        if level != len(cfg.channel_mult) - 1:
+            km.conv(f"down_{level}_downsample", f"input_blocks.{idx}.0.op")
+            idx += 1
+            ds *= 2
+
+    _map_resblock(km, "mid_res_0", "middle_block.0")
+    _map_spatial(km, "mid_attn", "middle_block.1", cfg.transformer_depth)
+    _map_resblock(km, "mid_res_1", "middle_block.2")
+
+    idx = 0
+    for level in reversed(range(len(cfg.channel_mult))):
+        for j in range(cfg.num_res_blocks + 1):
+            _map_resblock(km, f"up_{level}_res_{j}", f"output_blocks.{idx}.0")
+            sub = 1
+            if ds in cfg.attention_resolutions:
+                _map_spatial(km, f"up_{level}_attn_{j}",
+                             f"output_blocks.{idx}.{sub}",
+                             cfg.transformer_depth)
+                sub += 1
+            if j == cfg.num_res_blocks and level != 0:
+                km.conv(f"up_{level}_upsample",
+                        f"output_blocks.{idx}.{sub}.conv")
+                ds //= 2
+            idx += 1
+
+    km.norm("norm_out/GroupNorm_0", "out.0")
+    km.conv("conv_out/Conv_0", "out.2")
+    return {"params": unflatten(km.out)}
+
+
+# ---------------------------------------------------------------------------
+# VAE
+# ---------------------------------------------------------------------------
+
+def _map_vae_res(km: KeyMap, dst: str, src: str):
+    km.norm(f"{dst}/norm1/GroupNorm_0", f"{src}.norm1")
+    km.conv(f"{dst}/conv1", f"{src}.conv1")
+    km.norm(f"{dst}/norm2/GroupNorm_0", f"{src}.norm2")
+    km.conv(f"{dst}/conv2", f"{src}.conv2")
+    if km.has(f"{src}.nin_shortcut.weight"):
+        km.conv(f"{dst}/nin_shortcut", f"{src}.nin_shortcut")
+
+
+def _map_vae_attn(km: KeyMap, dst: str, src: str):
+    km.norm(f"{dst}/norm/GroupNorm_0", f"{src}.norm")
+    km.conv(f"{dst}/q", f"{src}.q")
+    km.conv(f"{dst}/k", f"{src}.k")
+    km.conv(f"{dst}/v", f"{src}.v")
+    km.conv(f"{dst}/proj_out", f"{src}.proj_out")
+
+
+def convert_vae(state: Dict[str, np.ndarray],
+                ch_mult: Tuple[int, ...] = (1, 2, 4, 4),
+                num_res_blocks: int = 2,
+                prefix: str = "first_stage_model.") -> Dict:
+    src = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+    km = KeyMap(src)
+    n_levels = len(ch_mult)
+    # encoder
+    km.conv("encoder/conv_in", "encoder.conv_in")
+    for l in range(n_levels):
+        for j in range(num_res_blocks):
+            _map_vae_res(km, f"encoder/down_{l}_res_{j}",
+                         f"encoder.down.{l}.block.{j}")
+        if l != n_levels - 1:
+            km.conv(f"encoder/down_{l}_downsample",
+                    f"encoder.down.{l}.downsample.conv")
+    _map_vae_res(km, "encoder/mid_res_0", "encoder.mid.block_1")
+    _map_vae_attn(km, "encoder/mid_attn", "encoder.mid.attn_1")
+    _map_vae_res(km, "encoder/mid_res_1", "encoder.mid.block_2")
+    km.norm("encoder/norm_out/GroupNorm_0", "encoder.norm_out")
+    km.conv("encoder/conv_out", "encoder.conv_out")
+    # decoder (torch 'up' is indexed by level, iterated in reverse)
+    km.conv("decoder/conv_in", "decoder.conv_in")
+    _map_vae_res(km, "decoder/mid_res_0", "decoder.mid.block_1")
+    _map_vae_attn(km, "decoder/mid_attn", "decoder.mid.attn_1")
+    _map_vae_res(km, "decoder/mid_res_1", "decoder.mid.block_2")
+    for l in range(n_levels):
+        for j in range(num_res_blocks + 1):
+            _map_vae_res(km, f"decoder/up_{l}_res_{j}",
+                         f"decoder.up.{l}.block.{j}")
+        if l != 0:
+            km.conv(f"decoder/up_{l}_upsample",
+                    f"decoder.up.{l}.upsample.conv")
+    km.norm("decoder/norm_out/GroupNorm_0", "decoder.norm_out")
+    km.conv("decoder/conv_out", "decoder.conv_out")
+    km.conv("quant_conv", "quant_conv")
+    km.conv("post_quant_conv", "post_quant_conv")
+    return {"params": unflatten(km.out)}
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder (HF layout)
+# ---------------------------------------------------------------------------
+
+def convert_clip_text(state: Dict[str, np.ndarray], layers: int = 12,
+                      prefix: str = "cond_stage_model.transformer.") -> Dict:
+    src = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+    # accept both with and without the leading 'text_model.'
+    if any(k.startswith("text_model.") for k in src):
+        src = {k[len("text_model."):]: v for k, v in src.items()
+               if k.startswith("text_model.")}
+    km = KeyMap(src)
+    km.put("token_embedding/embedding",
+           km.take("embeddings.token_embedding.weight"))
+    km.put("position_embedding",
+           km.take("embeddings.position_embedding.weight"))
+    for i in range(layers):
+        s = f"encoder.layers.{i}"
+        d = f"layer_{i}"
+        km.norm(f"{d}/ln1/LayerNorm_0", f"{s}.layer_norm1")
+        km.norm(f"{d}/ln2/LayerNorm_0", f"{s}.layer_norm2")
+        km.linear(f"{d}/q_proj", f"{s}.self_attn.q_proj")
+        km.linear(f"{d}/k_proj", f"{s}.self_attn.k_proj")
+        km.linear(f"{d}/v_proj", f"{s}.self_attn.v_proj")
+        km.linear(f"{d}/out_proj", f"{s}.self_attn.out_proj")
+        km.linear(f"{d}/fc1", f"{s}.mlp.fc1")
+        km.linear(f"{d}/fc2", f"{s}.mlp.fc2")
+    km.norm("final_ln/LayerNorm_0", "final_layer_norm")
+    return {"params": unflatten(km.out)}
+
+
+# ---------------------------------------------------------------------------
+# IResNet (insightface layout)
+# ---------------------------------------------------------------------------
+
+def convert_iresnet(state: Dict[str, np.ndarray],
+                    layers: Tuple[int, ...] = (3, 13, 30, 3)) -> Dict:
+    km = KeyMap(dict(state))
+    km.conv("stem_conv", "conv1")
+    km.bn("stem_bn", "bn1")
+    km.put("stem_prelu/alpha", km.take("prelu.weight"))
+    for li, n_blocks in enumerate(layers):
+        for bi in range(n_blocks):
+            s = f"layer{li + 1}.{bi}"
+            d = f"layer{li + 1}_block{bi}"
+            km.bn(f"{d}/bn1", f"{s}.bn1")
+            km.conv(f"{d}/conv1", f"{s}.conv1")
+            km.bn(f"{d}/bn2", f"{s}.bn2")
+            km.put(f"{d}/prelu/alpha", km.take(f"{s}.prelu.weight"))
+            km.conv(f"{d}/conv2", f"{s}.conv2")
+            km.bn(f"{d}/bn3", f"{s}.bn3")
+            if km.has(f"{s}.downsample.0.weight"):
+                km.conv(f"{d}/down_conv", f"{s}.downsample.0")
+                km.bn(f"{d}/down_bn", f"{s}.downsample.1")
+    km.bn("head_bn", "bn2")
+    # torch flattens NCHW (channel-major); we flatten NHWC — reorder the fc
+    # input dimension from (C, H, W) to (H, W, C) before transposing.
+    fc_w = km.take("fc.weight")          # (out, C*H*W)
+    C = km.take("bn2.running_mean").shape[0]
+    hw = fc_w.shape[1] // C
+    s = int(np.sqrt(hw))
+    assert s * s == hw, (fc_w.shape, C)
+    fc_w = fc_w.reshape(fc_w.shape[0], C, s, s).transpose(0, 2, 3, 1)
+    km.put("fc/kernel", _lin(fc_w.reshape(fc_w.shape[0], -1)))
+    km.put("fc/bias", km.take("fc.bias"))
+    km.bn("features", "features")
+    return {"params": unflatten(km.out)}
+
+
+# ---------------------------------------------------------------------------
+# Full SD checkpoint
+# ---------------------------------------------------------------------------
+
+def load_sd_checkpoint(path: str, unet_cfg: UNetConfig = UNetConfig.sd_v1()
+                       ) -> Dict:
+    """sd-v1-4 .ckpt -> {"unet","vae","clip"} param pytrees."""
+    from celebbasis_tpu.utils.pt_io import load_pt
+    ckpt = load_pt(path)
+    state = ckpt.get("state_dict", ckpt)
+    state = {k: v for k, v in state.items() if isinstance(v, np.ndarray)}
+    return {
+        "unet": convert_unet(state, unet_cfg),
+        "vae": convert_vae(state),
+        "clip": convert_clip_text(state),
+    }
