@@ -46,12 +46,13 @@ def main():
         eps_model, ddim, rng=rng, shape=(B, H, H, 4), cond=ctx,
         uncond=uncond, cfg=SamplerConfig(guidance_scale=10.0)))
 
-    # compile + warmup
-    run(jax.random.key(2)).block_until_ready()
+    # compile + warmup; fetch to host to defeat any async completion quirks
+    import numpy as np
+    np.asarray(run(jax.random.key(2)))
     n_rep = 3
     t0 = time.perf_counter()
     for i in range(n_rep):
-        run(jax.random.key(3 + i)).block_until_ready()
+        np.asarray(run(jax.random.key(3 + i)))
     dt = (time.perf_counter() - t0) / n_rep
     steps_per_sec = STEPS / dt
 

@@ -1,0 +1,125 @@
+"""Face align/crop CLI (W0) — the reference's ``00_align_face.sh`` +
+``PIPNet/start_align.py``.
+
+folder of photos -> FaceBoxesV2 detect -> PIPNet 98 landmarks ->
+get_5_from_98 -> FFHQ-template norm_crop (512²) -> saved crops +
+``ffhq.pickle`` (absolute-path list — the W2 dataset contract,
+``alignment/gen_pickle.py``).
+
+Weights: ``--detector_ckpt`` (FaceBoxesV2.pth), ``--pipnet_ckpt``
+(epoch59.pth) and ``--meanface`` are bridged torch files; without them the
+nets run random-init (shape-correct, for pipeline testing only — a warning is
+printed).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from celebbasis_tpu.align.alignment import get_5_from_98, norm_crop
+from celebbasis_tpu.align.faceboxes import FaceBoxesDetector, FaceBoxesV2
+from celebbasis_tpu.align.pipnet import (PIPNet, PIPNetConfig,
+                                         PIPNetLandmarker)
+
+
+def gen_pickle_abs(folder: str, out_pickle: str):
+    """Absolute-path list of images (gen_pickle.py parity)."""
+    paths = sorted(
+        p for ext in ("*.jpg", "*.jpeg", "*.png")
+        for p in glob.glob(os.path.join(os.path.abspath(folder), ext)))
+    with open(out_pickle, "wb") as f:
+        pickle.dump(paths, f)
+    return paths
+
+
+def _init_detector(ckpt, seed=0):
+    net = FaceBoxesV2()
+    params = jax.jit(net.init)(jax.random.key(seed),
+                               jnp.zeros((1, 256, 256, 3)))
+    if ckpt:
+        from celebbasis_tpu.utils.pt_io import load_pt
+        from celebbasis_tpu.utils.bridge_align import convert_faceboxes
+        params = convert_faceboxes(load_pt(ckpt))
+    else:
+        print("[align] WARNING: no detector checkpoint — random weights")
+    return FaceBoxesDetector(params)
+
+
+def _init_landmarker(ckpt, meanface_path, seed=0):
+    cfg = PIPNetConfig()
+    net = PIPNet(cfg)
+    params = jax.jit(net.init)(
+        jax.random.key(seed), jnp.zeros((1, cfg.input_size, cfg.input_size, 3)))
+    if ckpt:
+        from celebbasis_tpu.utils.pt_io import load_pt
+        from celebbasis_tpu.utils.bridge_align import convert_pipnet
+        params = convert_pipnet(load_pt(ckpt), cfg)
+    else:
+        print("[align] WARNING: no PIPNet checkpoint — random weights")
+    if meanface_path and os.path.exists(meanface_path):
+        with open(meanface_path) as f:
+            vals = [float(v) for v in f.readlines()[0].strip().split()]
+        meanface = np.asarray(vals).reshape(-1, 2)
+    else:
+        print("[align] WARNING: no meanface file — using a uniform grid")
+        g = int(np.ceil(np.sqrt(cfg.num_lms)))
+        xs, ys = np.meshgrid(np.linspace(0.1, 0.9, g), np.linspace(0.1, 0.9, g))
+        meanface = np.stack([xs.ravel(), ys.ravel()], -1)[: cfg.num_lms]
+    return PIPNetLandmarker(params, cfg, meanface)
+
+
+def align_folder(in_folder: str, out_folder: str, detector, landmarker,
+                 crop_size: int = 512, mode: str = "ffhq"):
+    os.makedirs(out_folder, exist_ok=True)
+    images = sorted(
+        p for ext in ("*.jpg", "*.jpeg", "*.png")
+        for p in glob.glob(os.path.join(in_folder, ext)))
+    n_ok = 0
+    for path in images:
+        rgb = np.asarray(Image.open(path).convert("RGB"))
+        bgr = rgb[:, :, ::-1].astype(np.float32)
+        dets = detector.detect(bgr)
+        if not dets:
+            print(f"[align] no face in {path}")
+            continue
+        det = max(dets, key=lambda d: d.score)
+        lmk98 = landmarker.landmarks_for_box(rgb, det)
+        lmk5 = get_5_from_98(lmk98)
+        crop = norm_crop(rgb.astype(np.float32), lmk5, crop_size, mode)
+        out = os.path.join(out_folder,
+                           os.path.splitext(os.path.basename(path))[0] + ".jpg")
+        Image.fromarray(crop.clip(0, 255).astype(np.uint8)).save(out)
+        n_ok += 1
+    return n_ok
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--in_folder", required=True)
+    p.add_argument("--out_folder", required=True)
+    p.add_argument("--crop_size", type=int, default=512)
+    p.add_argument("--mode", type=str, default="ffhq",
+                   choices=["ffhq", "arcface", "set1", "mtcnn"])
+    p.add_argument("--detector_ckpt", type=str, default=None)
+    p.add_argument("--pipnet_ckpt", type=str, default=None)
+    p.add_argument("--meanface", type=str, default=None)
+    args = p.parse_args(argv)
+
+    detector = _init_detector(args.detector_ckpt)
+    landmarker = _init_landmarker(args.pipnet_ckpt, args.meanface)
+    n = align_folder(args.in_folder, args.out_folder, detector, landmarker,
+                     args.crop_size, args.mode)
+    pkl = os.path.join(args.out_folder, "ffhq.pickle")
+    paths = gen_pickle_abs(args.out_folder, pkl)
+    print(f"[align] cropped {n} faces; pickle with {len(paths)} paths at {pkl}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Score computation CLI — ``evaluation/eval_imgs.py`` (W4 stage 2).
+
+Walks the generated-image tree from gen_imgs, computes CLIP img-img /
+txt-img similarity, identity cosine/MSE/L2 (sphere20), face counts, and
+optionally CLIP-FID against the source folder. Prints a score table and
+writes scores.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from celebbasis_tpu.eval.evaluators import (CLIPEvaluator, IdCLIPEvaluator,
+                                            IdentityEvaluator,
+                                            IDCLIPScoreCalculator)
+from celebbasis_tpu.eval.fid import FIDScorer, clip_feature_fn, copy_together
+from celebbasis_tpu.eval.sphere import SphereConfig, SphereNet, convert_sphere
+from celebbasis_tpu.models.clip_text import CLIPTextConfig
+from celebbasis_tpu.models.clip_vit import (CLIPTextTower, CLIPVisionConfig,
+                                            CLIPVisionEncoder,
+                                            convert_openai_clip)
+from celebbasis_tpu.text.tokenizer import default_tokenizer
+
+
+def _load_src_images(folder):
+    from PIL import Image
+    out = {}
+    for f in sorted(os.listdir(folder)):
+        if not f.lower().endswith((".jpg", ".png", ".jpeg")):
+            continue
+        idx = IDCLIPScoreCalculator.parse_id(f)
+        if idx is None:
+            # fall back: index by file order
+            idx = len(out)
+        arr = np.asarray(Image.open(os.path.join(folder, f)).convert("RGB"),
+                         np.float32) / 127.5 - 1.0
+        out[idx] = arr
+    return out
+
+
+def build_scorers(clip_ckpt=None, sphere_ckpt=None, vocab=None, seed=0):
+    vcfg = CLIPVisionConfig.vit_b32()
+    tcfg = CLIPTextConfig(width=512, layers=12, heads=8, mlp_dim=2048)
+    tokenizer = default_tokenizer(vocab)
+    vision = CLIPVisionEncoder(vcfg)
+    text = CLIPTextTower(tcfg, proj_dim=vcfg.proj_dim)
+    rng = jax.random.key(seed)
+    if clip_ckpt:
+        from celebbasis_tpu.utils.pt_io import load_pt
+        vp, tp = convert_openai_clip(load_pt(clip_ckpt), vcfg, tcfg)
+    else:
+        print("[eval] WARNING: no CLIP checkpoint — random weights")
+        vp = jax.jit(vision.init)(rng, jnp.zeros((1, 224, 224, 3)))
+        tp = jax.jit(text.init)(rng, jnp.zeros((1, 77), jnp.int32))
+    clip_eval = CLIPEvaluator(vp, tp, tokenizer, vcfg, tcfg)
+
+    scfg = SphereConfig.sphere20()
+    sphere = SphereNet(scfg)
+    if sphere_ckpt:
+        from celebbasis_tpu.utils.pt_io import load_pt
+        sp = convert_sphere(load_pt(sphere_ckpt), scfg)
+    else:
+        print("[eval] WARNING: no sphere20 checkpoint — random weights")
+        sp = jax.jit(sphere.init)(rng, jnp.zeros((1, 112, 112, 3)))
+    id_eval = IdentityEvaluator(sp, cfg=scfg)
+    return IdCLIPEvaluator(clip_eval, id_eval), clip_eval
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--gen_root", type=str, required=True)
+    p.add_argument("--src_folder", type=str, required=True,
+                   help="aligned source crops, named *_id<j>_*.jpg")
+    p.add_argument("--clip_ckpt", type=str, default=None)
+    p.add_argument("--sphere_ckpt", type=str, default=None)
+    p.add_argument("--vocab", type=str, default=None)
+    p.add_argument("--fid", action="store_true")
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args(argv)
+
+    evaluator, clip_eval = build_scorers(args.clip_ckpt, args.sphere_ckpt,
+                                         args.vocab)
+    src = _load_src_images(args.src_folder)
+    calc = IDCLIPScoreCalculator(evaluator, src)
+    scores = calc.start_calc(args.gen_root)
+
+    if args.fid:
+        flat = os.path.join(args.gen_root, "_flat_for_fid")
+        copy_together(args.gen_root, flat)
+        scorer = FIDScorer(clip_feature_fn(clip_eval))
+        scores["clip_fid"] = scorer.fid(args.src_folder, flat)
+
+    print(json.dumps(scores, indent=2))
+    out = args.out or os.path.join(args.gen_root, "scores.json")
+    with open(out, "w") as f:
+        json.dump(scores, f, indent=2)
+    print(f"[eval_imgs] wrote {out}")
+    return scores
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Training CLI — the reference's ``main_id_embed.py`` driver for TPU.
+
+Mirrors ``01_start_train.sh``: ``--base`` config(s), ``--actual_resume`` (SD
+checkpoint to bridge), ``--name``/``--logdir``, ``key=value`` overrides,
+``--data_root`` (rewrites the dataset pickle path like the shell script's
+sed), plus TPU-specific ``--mesh`` (data[,model] shard counts).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import yaml
+
+from celebbasis_tpu.core import manager as mgr
+from celebbasis_tpu.data.face_id import FaceIdDataset, PrefetchLoader
+from celebbasis_tpu.loader import assemble
+from celebbasis_tpu.parallel import mesh as pmesh
+from celebbasis_tpu.train import step as tstep
+from celebbasis_tpu.train.trainer import Trainer, TrainerConfig, make_run_dir
+from celebbasis_tpu.utils.config import load_run_spec, load_yaml_configs
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", type=str, nargs="+",
+                   default=["configs/aigc_id.yaml"])
+    p.add_argument("--name", type=str, default="aigc_id")
+    p.add_argument("--logdir", type=str, default="logs")
+    p.add_argument("--actual_resume", type=str, default=None,
+                   help="sd-v1-4 torch checkpoint to bridge")
+    p.add_argument("--fr_ckpt", type=str, default=None,
+                   help="CosFace R100 backbone.pth to bridge")
+    p.add_argument("--vocab", type=str, default=None)
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--face_size", type=int, default=512)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--mesh", type=int, nargs="+", default=None,
+                   help="data [model] shard counts, e.g. --mesh 8 or 4 2")
+    p.add_argument("overrides", nargs="*", default=[],
+                   help="config dot-list overrides key=value")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    spec = load_run_spec(args.base, args.overrides)
+    if args.data_root and spec.train_data:
+        spec.train_data.pickle_path = os.path.join(args.data_root,
+                                                   "ffhq.pickle")
+    if args.max_steps:
+        spec.trainer.max_steps = args.max_steps
+    if spec.train_data:
+        spec.train_data.image_size = args.image_size
+    spec.trainer.name = args.name
+    spec.trainer.logdir = args.logdir
+    spec.trainer.seed = args.seed
+
+    mesh = None
+    if args.mesh:
+        n_model = args.mesh[1] if len(args.mesh) > 1 else 1
+        mesh = pmesh.make_mesh(n_data=args.mesh[0], n_model=n_model)
+        spec.trainer.n_data_shards = args.mesh[0]
+
+    asm = assemble(spec, sd_ckpt=args.actual_resume, fr_ckpt=args.fr_ckpt,
+                   vocab_path=args.vocab, image_size=args.image_size,
+                   seed=args.seed)
+
+    run_dir = make_run_dir(spec.trainer)
+    # config dump contract (main_id_embed.py:322-330)
+    for base in args.base:
+        shutil.copy(base, os.path.join(run_dir, "configs",
+                                       os.path.basename(base)))
+    with open(os.path.join(run_dir, "configs", "resolved.yaml"), "w") as f:
+        yaml.safe_dump({"name": args.name, "seed": args.seed,
+                        "max_steps": spec.trainer.max_steps,
+                        "lr": spec.trainer.base_lr}, f)
+
+    ds = FaceIdDataset(spec.train_data)
+    loader = PrefetchLoader(ds, asm.tokenizer, spec.trainer.batch_size,
+                            face_size=args.face_size, seed=args.seed)
+
+    trainable, meta_frozen = tstep.split_meta_params(asm.meta_params)
+    frozen = {"unet": asm.params["unet"], "vae": asm.params["vae"],
+              "clip": asm.params["clip"], "meta_frozen": meta_frozen}
+
+    trainer = Trainer(asm.pipeline, asm.meta_net, frozen, asm.basis, loader,
+                      spec.trainer, mesh=mesh, run_dir=run_dir)
+    state = tstep.init_train_state(jax.random.key(args.seed), trainable,
+                                   trainer.optimizer, asm.manager_state)
+    print(f"[train] run dir: {run_dir}; lr="
+          f"{trainer.optimizer and spec.trainer.base_lr}")
+    final_state = trainer.fit(state)
+    print(f"[train] done at step {int(final_state.step)}; checkpoints in "
+          f"{os.path.join(run_dir, 'checkpoints')}")
+    return run_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""txt2img CLI — the reference's ``scripts/stable_txt2img.py`` for TPU.
+
+Same knobs and defaults as ``02_start_test.sh:36-49``: prompt file or single
+prompt, DDIM 50 steps, CFG scale 10, eta 0, 512x512, n_samples per prompt,
+seed 42, ``--embedding_path`` for the trained coefficients, two-pseudo-word
+prompts (``sks``/``ks``) selecting saved identities via ``--ids``.
+
+The whole prompt -> image path is one jitted function; prompts are batched
+through it with a fixed shape so the compile is reused.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from celebbasis_tpu.loader import assemble
+from celebbasis_tpu.utils.config import load_run_spec
+
+
+def save_images(arr: np.ndarray, outdir: str, start_idx: int, grid: bool):
+    from PIL import Image
+    os.makedirs(outdir, exist_ok=True)
+    imgs = ((arr + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+    paths = []
+    for i, im in enumerate(imgs):
+        p = os.path.join(outdir, f"{start_idx + i:05d}.jpg")
+        Image.fromarray(im).save(p)
+        paths.append(p)
+    if grid and len(imgs) > 1:
+        n = len(imgs)
+        cols = int(np.ceil(np.sqrt(n)))
+        rows = int(np.ceil(n / cols))
+        h, w = imgs.shape[1:3]
+        canvas = np.zeros((rows * h, cols * w, 3), np.uint8)
+        for i, im in enumerate(imgs):
+            r, c = divmod(i, cols)
+            canvas[r * h:(r + 1) * h, c * w:(c + 1) * w] = im
+        Image.fromarray(canvas).save(os.path.join(outdir, "grid.jpg"))
+    return paths
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--prompt", type=str, default=None)
+    p.add_argument("--from-file", dest="from_file", type=str, default=None)
+    p.add_argument("--outdir", type=str, default="outputs/txt2img-samples")
+    p.add_argument("--config", type=str, nargs="+",
+                   default=["configs/aigc_id.yaml"])
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="sd-v1-4 torch checkpoint to bridge")
+    p.add_argument("--embedding_path", type=str, default=None,
+                   help="embeddings_gs-*.pt with trained id coefficients")
+    p.add_argument("--vocab", type=str, default=None)
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--plms", action="store_true")
+    p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--scale", type=float, default=10.0)
+    p.add_argument("--n_samples", type=int, default=8)
+    p.add_argument("--H", type=int, default=512)
+    p.add_argument("--W", type=int, default=512)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--ids", type=int, nargs="+", default=[0, 1],
+                   help="identity indices bound to placeholders sks, ks, ...")
+    p.add_argument("--no-grid", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    assert args.H == args.W, "square outputs only"
+    spec = load_run_spec(args.config)
+    asm = assemble(spec, sd_ckpt=args.ckpt, vocab_path=args.vocab,
+                   embedding_ckpt=args.embedding_path, image_size=args.H,
+                   seed=args.seed)
+
+    if args.from_file:
+        with open(args.from_file) as f:
+            prompts = [l.strip() for l in f if l.strip()]
+    else:
+        prompts = [args.prompt or "a photo of a sks person"]
+
+    pipe = asm.pipeline
+    fn = pipe.make_txt2img_fn(
+        num_steps=args.ddim_steps, guidance_scale=args.scale,
+        eta=args.ddim_eta, image_size=args.H,
+        sampler="plms" if args.plms else "ddim")
+
+    B = args.n_samples
+    k = len(asm.pipeline.manager_cfg.placeholder_token_ids)
+    ids_row = (list(args.ids) + [0] * k)[:k]
+    rng = jax.random.key(args.seed)
+    idx = 0
+    for pi, prompt in enumerate(prompts):
+        tokens = jnp.asarray(asm.tokenizer([prompt] * B))
+        uncond = jnp.asarray(asm.tokenizer([""] * B))
+        ids = jnp.asarray(np.tile(ids_row, (B, 1)).astype(np.int32))
+        num_ids = jnp.full((B,), len(args.ids), jnp.int32)
+        rng, sub = jax.random.split(rng)
+        imgs = fn(asm.params, asm.manager_state, asm.basis, tokens, uncond,
+                  ids, num_ids, sub)
+        outdir = os.path.join(args.outdir, f"{pi:03d}_" +
+                              "".join(c if c.isalnum() else "-"
+                                      for c in prompt[:60]))
+        paths = save_images(np.asarray(imgs), outdir, idx,
+                            grid=not args.no_grid)
+        idx += B
+        print(f"[txt2img] {prompt!r} -> {len(paths)} images in {outdir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Trainer callbacks: image logging, device monitoring, profiling, resume.
+
+TPU equivalents of the reference's Lightning callback zoo
+(`/root/reference/main_id_embed.py:295-487`):
+
+* ``ImageLogger`` (main_id_embed.py:344-447) — periodic sample grids into
+  ``<run>/images`` using the jitted txt2img path;
+* ``DeviceMonitor`` (CUDACallback, :450-470) — per-interval wall time and
+  device memory via the PJRT ``memory_stats``;
+* ``Profiler`` — wraps ``jax.profiler.trace`` for a window of steps
+  (replaces the Lightning profiler summary);
+* ``OrbaxResume`` — full-train-state checkpointing (params + opt state +
+  momentum dictionaries + rng) for elastic resume; the reference persists
+  only coefficients ("melk"), which remains the portable artifact while this
+  covers crash recovery (SURVEY §5 failure detection).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+class ImageLogger:
+    def __init__(self, pipeline, run_dir: str, tokenizer, every: int = 600,
+                 max_images: int = 4, image_size: int = 512,
+                 prompt: str = "a photo of a sks person", num_steps: int = 20):
+        self.every = every
+        self.dir = os.path.join(run_dir, "images")
+        os.makedirs(self.dir, exist_ok=True)
+        self.pipeline = pipeline
+        self.tokenizer = tokenizer
+        self.prompt = prompt
+        self.max_images = max_images
+        self._fn = None
+        self._mk = lambda: pipeline.make_txt2img_fn(
+            num_steps=num_steps, guidance_scale=7.5, image_size=image_size)
+
+    def on_step(self, step: int, trainer, state) -> None:
+        self.maybe_log(step, trainer.frozen, state.manager_state,
+                       trainer.basis, state.rng)
+
+    def maybe_log(self, step: int, params, manager_state, basis,
+                  rng) -> Optional[str]:
+        if step % self.every != 0:
+            return None
+        import jax.numpy as jnp
+        from PIL import Image
+        if self._fn is None:
+            self._fn = self._mk()
+        B = self.max_images
+        tokens = jnp.asarray(self.tokenizer([self.prompt] * B))
+        uncond = jnp.asarray(self.tokenizer([""] * B))
+        k = len(self.pipeline.manager_cfg.placeholder_token_ids)
+        ids = jnp.zeros((B, k), jnp.int32)
+        num_ids = jnp.ones((B,), jnp.int32)
+        imgs = np.asarray(self._fn(params, manager_state, basis, tokens,
+                                   uncond, ids, num_ids, rng))
+        u8 = ((imgs + 1) * 127.5).clip(0, 255).astype(np.uint8)
+        grid = np.concatenate(list(u8), axis=1)
+        path = os.path.join(self.dir, f"samples_gs-{step:06d}.jpg")
+        Image.fromarray(grid).save(path)
+        return path
+
+
+class DeviceMonitor:
+    """Wall-time + device-memory telemetry (CUDACallback parity)."""
+
+    def __init__(self, run_dir: str, every: int = 100):
+        self.every = every
+        self.path = os.path.join(run_dir, "device_stats.jsonl")
+        self._t0 = time.perf_counter()
+        self._last = self._t0
+
+    def on_step(self, step: int, trainer, state) -> None:
+        self.maybe_log(step)
+
+    def maybe_log(self, step: int):
+        if step % self.every != 0:
+            return
+        now = time.perf_counter()
+        rec = {"step": step, "interval_s": now - self._last,
+               "total_s": now - self._t0}
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            rec["bytes_in_use"] = stats.get("bytes_in_use")
+            rec["peak_bytes_in_use"] = stats.get("peak_bytes_in_use")
+        except Exception:
+            pass
+        self._last = now
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+class Profiler:
+    """jax.profiler trace for steps [start, stop) -> <run>/profile."""
+
+    def __init__(self, run_dir: str, start: int = 10, stop: int = 13):
+        self.dir = os.path.join(run_dir, "profile")
+        self.start, self.stop = start, stop
+        self._on = False
+
+    def on_step(self, step: int, trainer=None, state=None):
+        self.step(step)
+
+    def step(self, step: int):
+        if step == self.start and not self._on:
+            jax.profiler.start_trace(self.dir)
+            self._on = True
+        elif step >= self.stop and self._on:
+            jax.profiler.stop_trace()
+            self._on = False
+
+
+class OrbaxResume:
+    """Full TrainState save/restore for crash recovery."""
+
+    def __init__(self, run_dir: str, every: int = 200):
+        import orbax.checkpoint as ocp
+        self.every = every
+        self.dir = os.path.abspath(os.path.join(run_dir, "orbax"))
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def on_step(self, step: int, trainer, state) -> None:
+        self.maybe_save(step, state)
+
+    def maybe_save(self, step: int, state) -> None:
+        if step % self.every != 0:
+            return
+        self._ckptr.save(os.path.join(self.dir, f"step_{step:08d}"), state)
+
+    def latest_step(self) -> Optional[int]:
+        if not os.path.isdir(self.dir):
+            return None
+        steps = [int(d.split("_")[1]) for d in os.listdir(self.dir)
+                 if d.startswith("step_")]
+        return max(steps) if steps else None
+
+    def restore(self, step: int, abstract_state):
+        return self._ckptr.restore(
+            os.path.join(self.dir, f"step_{step:08d}"), abstract_state)
+
+    def close(self):
+        self._ckptr.close()

@@ -74,7 +74,8 @@ def effective_lr(cfg: TrainerConfig) -> float:
 class Trainer:
     def __init__(self, pipeline, meta_net: MetaIdNet, frozen_params: Dict,
                  basis, loader: PrefetchLoader, cfg: TrainerConfig,
-                 mesh=None, run_dir: Optional[str] = None):
+                 mesh=None, run_dir: Optional[str] = None, callbacks=()):
+        self.callbacks = list(callbacks)
         self.pipeline = pipeline
         self.meta_net = meta_net
         self.cfg = cfg
@@ -153,6 +154,8 @@ class Trainer:
                         log_f.flush()
                     if step % cfg.ckpt_every == 0:
                         self.save(state)
+                    for cb in self.callbacks:
+                        cb.on_step(step, self, state)
         except KeyboardInterrupt:
             print("[trainer] interrupted — saving last checkpoint")
             self.save(current["state"], tag="embeddings_last.pt")

@@ -1,0 +1,78 @@
+"""End-to-end CLI tests: train -> txt2img -> extract on the tiny config.
+
+This is the W2 -> W3 -> export loop of the reference
+(01_start_train.sh / 02_start_test.sh / 03_extract.sh) driven through our
+CLIs on toy shapes.
+"""
+import glob
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    data = d / "data"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(4):
+        p = data / f"{i:05d}.png"
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(p)
+        paths.append(str(p))
+    with open(data / "ffhq.pickle", "wb") as f:
+        pickle.dump(paths, f)
+    return d
+
+
+def test_train_txt2img_extract(workdir):
+    from celebbasis_tpu.cli import extract, train, txt2img
+
+    cfg = os.path.join(REPO, "configs", "tiny.yaml")
+    run_dir = train.main([
+        "--base", cfg, "--name", "tinytest",
+        "--logdir", str(workdir / "logs"),
+        "--data_root", str(workdir / "data"),
+        "--image_size", "32", "--face_size", "32",
+        "--max_steps", "6",
+    ])
+    ckpts = sorted(glob.glob(os.path.join(run_dir, "checkpoints", "*.pt")))
+    assert ckpts, "no checkpoints written"
+    final = os.path.join(run_dir, "checkpoints", "embeddings_gs-6.pt")
+    assert os.path.exists(final)
+    # metrics jsonl written
+    assert os.path.getsize(os.path.join(run_dir, "metrics.jsonl")) > 0
+
+    outdir = str(workdir / "samples")
+    txt2img.main([
+        "--config", cfg, "--embedding_path", final,
+        "--prompt", "a photo of a sks person", "--outdir", outdir,
+        "--ddim_steps", "4", "--n_samples", "2", "--H", "32", "--W", "32",
+        "--ids", "0",
+    ])
+    imgs = glob.glob(os.path.join(outdir, "*", "*.jpg"))
+    assert len(imgs) >= 2
+    arr = np.asarray(Image.open(imgs[0]))
+    assert arr.shape == (32, 32, 3)
+
+    exdir = str(workdir / "extracted")
+    extract.main(["--config", cfg, "--embedding_path", final,
+                  "--outdir", exdir])
+    assert os.path.exists(os.path.join(exdir, "celeb_basis.pt"))
+    assert os.path.exists(os.path.join(exdir, "id_embedding_0.pt"))
+    assert os.path.exists(os.path.join(exdir, "id_coefficient_3.pt"))
+    # exported embedding must equal coeff · P + mean
+    from celebbasis_tpu.utils.pt_io import load_pt
+    from celebbasis_tpu.core.basis import reconstruct
+    basis = np.asarray(load_pt(os.path.join(exdir, "celeb_basis.pt")))
+    coeff = np.asarray(load_pt(os.path.join(exdir, "id_coefficient_0.pt")))
+    emb = np.asarray(load_pt(os.path.join(exdir, "id_embedding_0.pt")))
+    np.testing.assert_allclose(reconstruct(coeff, basis), emb, atol=1e-5)
