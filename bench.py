@@ -14,10 +14,18 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
-import jax.numpy as jnp
+
+# persistent compile cache: the tunneled-TPU XLA compile of the SD UNet is
+# minutes-slow on this host; cache it across bench runs
+os.makedirs("/root/repo/.cache/jax", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp  # noqa: E402
 
 A100_STEPS_PER_SEC = 10.0
 
@@ -39,12 +47,15 @@ def main():
 
     ddim = make_ddim_schedule(make_schedule(), STEPS, eta=0.0)
 
-    def eps_model(xx, tt, cc):
-        return model.apply(params, xx, tt, cc)
+    # params/ctx must be jit *arguments* — closing over them would bake 3.4GB
+    # of weights into the HLO as constants and stall the compiler
+    def run_impl(p, c, u, rng):
+        return ddim_sample(lambda xx, tt, cc: model.apply(p, xx, tt, cc),
+                           ddim, rng=rng, shape=(B, H, H, 4), cond=c,
+                           uncond=u, cfg=SamplerConfig(guidance_scale=10.0))
 
-    run = jax.jit(lambda rng: ddim_sample(
-        eps_model, ddim, rng=rng, shape=(B, H, H, 4), cond=ctx,
-        uncond=uncond, cfg=SamplerConfig(guidance_scale=10.0)))
+    _run = jax.jit(run_impl)
+    run = lambda rng: _run(params, ctx, uncond, rng)
 
     # compile + warmup; fetch to host to defeat any async completion quirks
     import numpy as np

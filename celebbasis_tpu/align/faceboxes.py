@@ -84,8 +84,9 @@ class Inception(nn.Module):
     @nn.compact
     def __call__(self, x):
         b1 = BasicConv(32, 1, dtype=self.dtype, name="branch1x1")(x)
+        # torch F.avg_pool2d counts padded zeros (count_include_pad=True)
         pooled = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                             count_include_pad=False)
+                             count_include_pad=True)
         b2 = BasicConv(32, 1, dtype=self.dtype, name="branch1x1_2")(pooled)
         b3 = BasicConv(24, 1, dtype=self.dtype, name="branch3x3_reduce")(x)
         b3 = BasicConv(32, 3, dtype=self.dtype, name="branch3x3")(b3)

@@ -18,7 +18,9 @@ import jax
 import jax.numpy as jnp
 from einops import rearrange
 
-_DEFAULT_IMPL = "xla"
+import os
+
+_DEFAULT_IMPL = os.environ.get("CELEBBASIS_ATTN", "xla")
 
 
 def set_default_impl(impl: str) -> None:
@@ -41,9 +43,11 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *, num_heads: int,
     qh = rearrange(q, "b n (h d) -> b h n d", h=H)
     kh = rearrange(k, "b m (h d) -> b h m d", h=H)
     vh = rearrange(v, "b m (h d) -> b h m d", h=H)
-    if impl == "pallas":
+    # the pallas flash kernel is mask-free; masked attention (CLIP causal)
+    # always takes the XLA path
+    if impl == "pallas" and mask is None:
         from celebbasis_tpu.ops.flash_attention import flash_attention
-        out = flash_attention(qh, kh, vh, mask=mask)
+        out = flash_attention(qh, kh, vh)
     else:
         out = _xla_attention(qh, kh, vh, mask)
     return rearrange(out, "b h n d -> b n (h d)")
