@@ -42,6 +42,9 @@ def build_argparser():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--mesh", type=int, nargs="+", default=None,
                    help="data [model] shard counts, e.g. --mesh 8 or 4 2")
+    p.add_argument("-r", "--resume", type=str, default=None,
+                   help="resume from a run dir (loads the latest "
+                        "embeddings_gs-*.pt; reference main_id_embed -r)")
     p.add_argument("overrides", nargs="*", default=[],
                    help="config dot-list overrides key=value")
     return p
@@ -67,11 +70,22 @@ def main(argv=None):
         mesh = pmesh.make_mesh(n_data=args.mesh[0], n_model=n_model)
         spec.trainer.n_data_shards = args.mesh[0]
 
+    resume_ckpt = None
+    if args.resume:
+        import glob as _glob
+        cands = sorted(
+            _glob.glob(os.path.join(args.resume, "checkpoints",
+                                    "embeddings_gs-*.pt")),
+            key=lambda p: int(p.rsplit("-", 1)[1].split(".")[0]))
+        if cands:
+            resume_ckpt = cands[-1]
+            print(f"[train] resuming embeddings from {resume_ckpt}")
+
     asm = assemble(spec, sd_ckpt=args.actual_resume, fr_ckpt=args.fr_ckpt,
                    vocab_path=args.vocab, image_size=args.image_size,
-                   seed=args.seed)
+                   seed=args.seed, embedding_ckpt=resume_ckpt)
 
-    run_dir = make_run_dir(spec.trainer)
+    run_dir = args.resume or make_run_dir(spec.trainer)
     # config dump contract (main_id_embed.py:322-330)
     for base in args.base:
         shutil.copy(base, os.path.join(run_dir, "configs",

@@ -1,0 +1,58 @@
+"""LR schedules — the reference's LambdaWarmUpCosine family as optax fns.
+
+Parity: `/root/reference/ldm/lr_scheduler.py` (LambdaWarmUpCosineScheduler
+and the interval-based Scheduler2) — available but unused in the aigc_id
+config path, provided for full configurability.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import optax
+
+
+def warmup_cosine(base_lr: float, warm_up_steps: int, lr_min: float,
+                  lr_max: float, lr_start: float, max_decay_steps: int):
+    """LambdaWarmUpCosineScheduler: linear warmup then cosine to lr_min.
+
+    Like the reference, the returned schedule is a multiplier applied to
+    ``base_lr`` (lr_scheduler.py uses LambdaLR semantics).
+    """
+    def fn(step):
+        step = np.minimum(step, max_decay_steps)
+        warm = lr_start + step * (lr_max - lr_start) / max(warm_up_steps, 1)
+        t = (step - warm_up_steps) / max(max_decay_steps - warm_up_steps, 1)
+        t = np.clip(t, 0.0, 1.0)
+        cos = lr_min + 0.5 * (lr_max - lr_min) * (1 + np.cos(t * np.pi))
+        return base_lr * np.where(step < warm_up_steps, warm, cos)
+    return fn
+
+
+def warmup_cosine_cycles(base_lr: float, warm_up_steps: Sequence[int],
+                         f_min: Sequence[float], f_max: Sequence[float],
+                         f_start: Sequence[float],
+                         cycle_lengths: Sequence[int]):
+    """LambdaWarmUpCosineScheduler2: repeated warmup+cosine cycles."""
+    bounds = np.cumsum(cycle_lengths)
+
+    def fn(step):
+        cyc = int(np.searchsorted(bounds, step, side="right"))
+        cyc = min(cyc, len(cycle_lengths) - 1)
+        start = bounds[cyc - 1] if cyc > 0 else 0
+        s = step - start
+        if s < warm_up_steps[cyc]:
+            mult = (f_start[cyc] + s * (f_max[cyc] - f_start[cyc])
+                    / max(warm_up_steps[cyc], 1))
+        else:
+            t = (s - warm_up_steps[cyc]) / max(
+                cycle_lengths[cyc] - warm_up_steps[cyc], 1)
+            t = min(t, 1.0)
+            mult = f_min[cyc] + 0.5 * (f_max[cyc] - f_min[cyc]) * (
+                1 + np.cos(t * np.pi))
+        return base_lr * mult
+    return fn
+
+
+def adamw_with_schedule(schedule_fn) -> optax.GradientTransformation:
+    return optax.adamw(learning_rate=lambda step: schedule_fn(step))

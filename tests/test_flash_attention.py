@@ -1,0 +1,55 @@
+"""Pallas flash-attention kernel vs the XLA reference core (interpret mode).
+
+On CPU the kernel runs through the Pallas interpreter — numerics identical to
+the compiled TPU path modulo float ordering. TPU execution is covered by the
+benchmark and the pipeline when CELEBBASIS_ATTN=pallas.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import celebbasis_tpu.ops.flash_attention as fa
+from celebbasis_tpu.ops.attention import _xla_attention
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+    yield
+
+
+SHAPES = [
+    (1, 2, 64, 64, 40),     # sd self-attn head-dim, padded lanes
+    (2, 4, 128, 77, 64),    # cross-attn with 77-token context masking
+    (1, 8, 256, 256, 160),  # deep level head dim
+    (1, 1, 100, 100, 32),   # non-multiple sequence lengths
+]
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_matches_xla(shape):
+    B, H, N, M, D = shape
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, M, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, M, D)), jnp.float32)
+    ref = _xla_attention(q, k, v, None)
+    got = fa.flash_attention(q, k, v, block_q=64, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_bf16_inputs():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((1, 2, 64, 48)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 2, 80, 48)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 2, 80, 48)), jnp.bfloat16)
+    ref = _xla_attention(q, k, v, None)
+    got = fa.flash_attention(q, k, v, block_q=64, block_k=128)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=3e-2)
