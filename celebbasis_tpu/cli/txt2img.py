@@ -54,6 +54,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="sd-v1-4 torch checkpoint to bridge")
     p.add_argument("--embedding_path", type=str, default=None,
                    help="embeddings_gs-*.pt with trained id coefficients")
+    p.add_argument("--ti_embedding", type=str, default=None,
+                   help="textual-inversion checkpoint (string_to_param .pt); "
+                        "placeholders in the prompt are replaced by its "
+                        "learned vectors")
     p.add_argument("--vocab", type=str, default=None)
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--plms", action="store_true")
@@ -84,10 +88,28 @@ def main(argv=None):
         prompts = [args.prompt or "a photo of a sks person"]
 
     pipe = asm.pipeline
-    fn = pipe.make_txt2img_fn(
-        num_steps=args.ddim_steps, guidance_scale=args.scale,
-        eta=args.ddim_eta, image_size=args.H,
-        sampler="plms" if args.plms else "ddim")
+    sampler = "plms" if args.plms else "ddim"
+    if args.ti_embedding:
+        from celebbasis_tpu.core import textual_inversion as ti
+        vectors = ti.load_ti_checkpoint(args.ti_embedding)
+        names = sorted(vectors)
+        V = vectors[names[0]].shape[0]
+        ti_cfg = ti.TIConfig(placeholder_strings=tuple(names),
+                             num_vectors_per_token=V,
+                             token_dim=spec.clip.width)
+        ti_params = jnp.asarray(np.stack([vectors[n] for n in names]))
+        ph_ids = ti.placeholder_token_ids(ti_cfg, asm.tokenizer)
+        ti_fn = pipe.make_txt2img_ti_fn(
+            ti_cfg, ph_ids, num_steps=args.ddim_steps,
+            guidance_scale=args.scale, eta=args.ddim_eta, image_size=args.H,
+            sampler=sampler)
+
+        def fn(params, _state, _basis, tokens, uncond, _ids, _num_ids, rng):
+            return ti_fn(params, ti_params, tokens, uncond, rng)
+    else:
+        fn = pipe.make_txt2img_fn(
+            num_steps=args.ddim_steps, guidance_scale=args.scale,
+            eta=args.ddim_eta, image_size=args.H, sampler=sampler)
 
     B = args.n_samples
     k = len(asm.pipeline.manager_cfg.placeholder_token_ids)

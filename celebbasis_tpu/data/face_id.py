@@ -120,9 +120,18 @@ class FaceIdDataset:
         with open(cfg.pickle_path, "rb") as f:
             paths = pickle.load(f)
         by_id: Dict[str, List[str]] = {}
-        for p in paths:
-            key = os.path.basename(p).split(".")[0]
-            by_id.setdefault(key, []).append(p)
+        if paths and isinstance(paths[0], (tuple, list)):
+            # VGG-style pickle: (path, quality) tuples, identity = parent dir,
+            # best-quality images first (reference FaceIdDatasetVGG,
+            # face_id.py:282-296)
+            for p, _iqa in sorted(paths, key=lambda x: x[1], reverse=True):
+                key = os.path.basename(os.path.dirname(p))
+                by_id.setdefault(key, []).append(p)
+        else:
+            # one-shot pickle: flat path list, identity = file basename
+            for p in paths:
+                key = os.path.basename(p).split(".")[0]
+                by_id.setdefault(key, []).append(p)
         spec = parse_specific_ids(cfg.specific_ids)
         walk, use = 0, 0
         for key, images in by_id.items():

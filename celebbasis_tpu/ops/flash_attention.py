@@ -73,16 +73,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, m_real: int,
     o_ref[:] = (acc / l_i).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    mask=None, block_q: int = 256,
-                    block_k: int = 512) -> jax.Array:
-    """q: (B, H, N, D); k, v: (B, H, M, D) -> (B, H, N, D).
-
-    ``mask`` is unsupported here (the UNet paths are mask-free); masked cases
-    fall back to the XLA core in ``ops.attention``.
-    """
-    assert mask is None, "pallas path is mask-free; use impl='xla'"
+def _forward(q: jax.Array, k: jax.Array, v: jax.Array,
+             block_q: int, block_k: int) -> jax.Array:
     B, H, N, D = q.shape
     M = k.shape[2]
     scale = D ** -0.5
@@ -117,3 +109,53 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             dimension_semantics=("parallel", "arbitrary")),
     )(qp, kp, vp)
     return out.reshape(B, H, np_, dp)[:, :, :N, :D]
+
+
+# -- custom VJP: pallas forward, exact-recompute XLA backward ----------------
+# pallas_call has no autodiff rule; training paths (coefficient backprop
+# through the frozen UNet) differentiate attention w.r.t. its *inputs*.  The
+# backward recomputes softmax with XLA ops (memory O(N·M) per head — fine at
+# the personalization batch sizes) and applies the standard attention VJP.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_with_vjp(q, k, v, block_q, block_k):
+    return _forward(q, k, v, block_q, block_k)
+
+
+def _fwd_rule(q, k, v, block_q, block_k):
+    return _forward(q, k, v, block_q, block_k), (q, k, v)
+
+
+def _bwd_rule(block_q, block_k, res, g):
+    q, k, v = res
+    D = q.shape[-1]
+    scale = D ** -0.5
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    s = jnp.einsum("bhnd,bhmd->bhnm", qf, kf)
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p, gf)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", gf, vf)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, kf) * scale
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, qf)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_with_vjp.defvjp(_fwd_rule, _bwd_rule)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    mask=None, block_q: int = 256,
+                    block_k: int = 512) -> jax.Array:
+    """q: (B, H, N, D); k, v: (B, H, M, D) -> (B, H, N, D).
+
+    Differentiable w.r.t. q/k/v via the custom VJP above. ``mask`` is
+    unsupported (the UNet paths are mask-free); masked cases take the XLA
+    core in ``ops.attention``.
+    """
+    assert mask is None, "pallas path is mask-free; use impl='xla'"
+    return _flash_with_vjp(q, k, v, block_q, block_k)

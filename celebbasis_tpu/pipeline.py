@@ -164,3 +164,35 @@ class CelebBasisPipeline:
             return jnp.clip(img, -1.0, 1.0)
 
         return jax.jit(fn)
+
+    def make_txt2img_ti_fn(self, ti_cfg, ph_ids, num_steps: int = 50,
+                           guidance_scale: float = 7.5, eta: float = 0.0,
+                           image_size: int = 512, sampler: str = "ddim"):
+        """Textual-inversion sampling: learned vectors replace placeholders
+        (the reference's main.py/textual_test path).
+
+        Returns jit(fn)(params, ti_params, tokens, uncond_tokens, rng).
+        """
+        from celebbasis_tpu.core import textual_inversion as ti
+        ddim = make_ddim_schedule(self.schedule, num_steps, eta)
+        lat = image_size // self.latent_factor
+        sample_fn = ddim_sample if sampler == "ddim" else plms_sample
+        ph = jnp.asarray(ph_ids, jnp.int32)
+
+        def fn(params, ti_params, tokens, uncond_tokens, rng):
+            B = tokens.shape[0]
+            embeds = self.clip.apply(params["clip"], tokens,
+                                     method=CLIPTextEncoder.token_embed)
+            embeds = ti.ti_inject(ti_cfg, ti_params, ph, tokens, embeds)
+            cond = self.clip.apply(params["clip"], embeds,
+                                   method=CLIPTextEncoder.encode)
+            uncond = self.conditioning(params, uncond_tokens)
+            x = sample_fn(self.eps_model(params), ddim, rng=rng,
+                          shape=(B, lat, lat, 4), cond=cond, uncond=uncond,
+                          cfg=SamplerConfig(guidance_scale=guidance_scale,
+                                            eta=eta))
+            img = self.vae.apply(params["vae"], x / self.cfg.scale_factor,
+                                 method=AutoencoderKL.decode)
+            return jnp.clip(img, -1.0, 1.0)
+
+        return jax.jit(fn)

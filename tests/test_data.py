@@ -84,3 +84,28 @@ def test_loader_batches(fake_ffhq):
     assert b["tokens"].shape == (2, 77)
     assert b["tokens"].dtype == np.int32
     assert b["num_ids"].shape == (2,)
+
+
+def test_vgg_pickle_format(tmp_path):
+    """(path, quality) tuple pickles with directory-name identities."""
+    rng = np.random.default_rng(1)
+    entries = []
+    for pid in ("alice", "bob"):
+        d = tmp_path / pid
+        d.mkdir()
+        for j in range(3):
+            p = d / f"{j}.png"
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                         dtype=np.uint8)).save(p)
+            entries.append((str(p), float(j)))  # ascending quality
+    pkl = tmp_path / "vgg.pickle"
+    with open(pkl, "wb") as f:
+        pickle.dump(entries, f)
+    cfg = FaceIdDatasetConfig(pickle_path=str(pkl), num_ids=2,
+                              images_per_id=2, image_size=32, repeats=2)
+    ds = FaceIdDataset(cfg)
+    assert set(d["id"] for d in ds.img_dict.values()) == {"alice", "bob"}
+    # best-quality-first ordering: image '2.png' (quality 2.0) leads
+    assert ds.img_dict[0]["images"][0].endswith("2.png")
+    ex = ds[1]
+    assert ex["image"].shape == (32, 32, 3)

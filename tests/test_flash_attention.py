@@ -53,3 +53,22 @@ def test_bf16_inputs():
     got = fa.flash_attention(q, k, v, block_q=64, block_k=128)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_grad_through_flash_matches_xla():
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((1, 2, 32, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 48, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 48, 16)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return (fa.flash_attention(q, k, v, block_q=32, block_k=64) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (_xla_attention(q, k, v, None) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
