@@ -1,15 +1,17 @@
-"""Fused flash attention for TPU (Pallas) — the UNet's hot kernel.
+"""Fused flash attention for TPU (Pallas) — forward + backward kernels.
 
 Targets the SD v1 spatial-transformer shapes (SURVEY §7.1): self-attention
 over 64²=4096 / 32²=1024 / 16²=256 tokens with head dims 40/80/160, and
-cross-attention with a fixed 77-token text context.  Blockwise online-softmax
-(flash) over K/V tiles keeps the (BQ, M) score matrix out of HBM entirely;
-softmax statistics run in fp32 on the VPU while the two matmuls hit the MXU
-in bf16.
+cross-attention with the fixed 77-token text context.  Blockwise
+online-softmax keeps the (N, M) score matrix out of HBM in both directions;
+softmax statistics run fp32 on the VPU, matmuls hit the MXU in the input
+dtype.
 
-Head dims are zero-padded to the 128-lane width outside the kernel (padding
-keys contribute exp(0-score)=0 via the length mask; padded value lanes are
-sliced off afterwards).
+Backward is the standard flash decomposition with saved per-row logsumexp:
+one kernel accumulates dQ over K/V tiles, a second accumulates dK/dV over Q
+tiles; ``D = rowsum(dO·O)`` is computed outside (cheap elementwise).
+Head dims are zero-padded to the 128-lane width; key/query padding is masked
+with -inf scores.
 
 ``flash_attention(q, k, v)`` takes (B, H, N, D) / (B, H, M, D) and is the
 ``impl='pallas'`` backend of ``celebbasis_tpu.ops.attention.attention``.
@@ -31,11 +33,16 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, m_real: int,
-            block_k: int):
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float,
+                m_real: int, block_k: int):
     """One (b·h, q-block) program: online softmax over K/V tiles.
 
-    q_ref: (BQ, Dp); k_ref/v_ref: (Mp, Dp); o_ref: (BQ, Dp).
+    q_ref: (BQ, Dp); k_ref/v_ref: (Mp, Dp); o_ref: (BQ, Dp);
+    l_ref: (BQ, LANE) — per-row logsumexp broadcast over lanes.
     """
     bq, dp = q_ref.shape
     mp = k_ref.shape[0]
@@ -51,7 +58,6 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, m_real: int,
             q, k.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (BQ, BK)
-        # mask out padded keys beyond the true context length
         key_idx = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 1)
         s = jnp.where(key_idx < m_real, s, _NEG_INF)
@@ -69,82 +75,195 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, m_real: int,
     acc0 = jnp.zeros((bq, dp), jnp.float32)
     m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, _, l_i = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
+    acc, m_i, l_i = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
     o_ref[:] = (acc / l_i).astype(o_ref.dtype)
+    l_ref[:] = jnp.broadcast_to(m_i + jnp.log(l_i), (bq, _LANE))
 
 
-def _forward(q: jax.Array, k: jax.Array, v: jax.Array,
-             block_q: int, block_k: int) -> jax.Array:
-    B, H, N, D = q.shape
-    M = k.shape[2]
-    scale = D ** -0.5
+def _pad_nd(x, n_to, d_to):
+    return jnp.pad(x, ((0, 0), (0, 0), (0, n_to - x.shape[2]),
+                       (0, d_to - x.shape[3])))
 
+
+def _geometry(N, M, D, block_q, block_k):
     dp = _ceil_to(D, _LANE)
     bq = min(block_q, _ceil_to(N, 8))
     mp = _ceil_to(M, min(block_k, _ceil_to(M, _LANE)))
     bk = min(block_k, mp)
     mp = _ceil_to(M, bk)
     np_ = _ceil_to(N, bq)
+    return dp, bq, bk, mp, np_
 
-    def pad(x, n_to, d_to):
-        return jnp.pad(x, ((0, 0), (0, 0), (0, n_to - x.shape[2]),
-                           (0, d_to - x.shape[3])))
 
-    qp = pad(q, np_, dp).reshape(B * H, np_, dp)
-    kp = pad(k, mp, dp).reshape(B * H, mp, dp)
-    vp = pad(v, mp, dp).reshape(B * H, mp, dp)
+def _forward(q, k, v, block_q, block_k, with_stats):
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    scale = D ** -0.5
+    dp, bq, bk, mp, np_ = _geometry(N, M, D, block_q, block_k)
+    qp = _pad_nd(q, np_, dp).reshape(B * H, np_, dp)
+    kp = _pad_nd(k, mp, dp).reshape(B * H, mp, dp)
+    vp = _pad_nd(v, mp, dp).reshape(B * H, mp, dp)
 
-    grid = (B * H, np_ // bq)
-    out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, m_real=M, block_k=bk),
-        grid=grid,
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, m_real=M, block_k=bk),
+        grid=(B * H, np_ // bq),
         in_specs=[
             pl.BlockSpec((None, bq, dp), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, mp, dp), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((None, mp, dp), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, bq, dp), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, np_, dp), q.dtype),
+        out_specs=(pl.BlockSpec((None, bq, dp), lambda b, i: (b, i, 0)),
+                   pl.BlockSpec((None, bq, _LANE), lambda b, i: (b, i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B * H, np_, dp), q.dtype),
+                   jax.ShapeDtypeStruct((B * H, np_, _LANE), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
     )(qp, kp, vp)
-    return out.reshape(B, H, np_, dp)[:, :, :N, :D]
+    o = out.reshape(B, H, np_, dp)[:, :, :N, :D]
+    if with_stats:
+        return o, (qp, kp, vp, lse)
+    return o
 
 
-# -- custom VJP: pallas forward, exact-recompute XLA backward ----------------
-# pallas_call has no autodiff rule; training paths (coefficient backprop
-# through the frozen UNet) differentiate attention w.r.t. its *inputs*.  The
-# backward recomputes softmax with XLA ops (memory O(N·M) per head — fine at
-# the personalization batch sizes) and applies the standard attention VJP.
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _dq_kernel(q_ref, k_ref, v_ref, l_ref, d_ref, do_ref, dq_ref, *,
+               scale: float, m_real: int, block_k: int):
+    bq, dp = q_ref.shape
+    mp = k_ref.shape[0]
+    q = q_ref[:].astype(jnp.float32) * scale
+    do = do_ref[:].astype(jnp.float32)
+    lse = l_ref[:, :1]
+    dvec = d_ref[:, :1]
+
+    def body(kb, dq):
+        k = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        key_idx = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
+        s = jnp.where(key_idx < m_real, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp_ = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        ds = p * (dp_ - dvec)
+        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, mp // block_k, body,
+                           jnp.zeros((bq, dp), jnp.float32))
+    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(k_ref, v_ref, q_ref, l_ref, d_ref, do_ref, dk_ref, dv_ref, *,
+                scale: float, m_real: int, n_real: int, block_q: int):
+    bk, dp = k_ref.shape
+    np_ = q_ref.shape[0]
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    kb_start = pl.program_id(1) * bk
+    key_idx = kb_start + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[pl.ds(qb * block_q, block_q), :].astype(jnp.float32) * scale
+        do = do_ref[pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = l_ref[pl.ds(qb * block_q, block_q), :1]
+        dvec = d_ref[pl.ds(qb * block_q, block_q), :1]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        row_idx = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0)
+        s = jnp.where((key_idx < m_real) & (row_idx < n_real), s, _NEG_INF)
+        p = jnp.exp(s - lse)                              # (BQ, BK)
+        dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp_ = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        ds = p * (dp_ - dvec)
+        dk = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, dp), jnp.float32)
+    dv0 = jnp.zeros((bk, dp), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, np_ // block_q, body, (dk0, dv0))
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_with_vjp(q, k, v, block_q, block_k):
-    return _forward(q, k, v, block_q, block_k)
+def _flash(q, k, v, block_q, block_k):
+    return _forward(q, k, v, block_q, block_k, with_stats=False)
 
 
-def _fwd_rule(q, k, v, block_q, block_k):
-    return _forward(q, k, v, block_q, block_k), (q, k, v)
+def _flash_fwd_rule(q, k, v, block_q, block_k):
+    o, (qp, kp, vp, lse) = _forward(q, k, v, block_q, block_k,
+                                    with_stats=True)
+    return o, (qp, kp, vp, lse, o, q.shape, k.shape[2])
 
 
-def _bwd_rule(block_q, block_k, res, g):
-    q, k, v = res
-    D = q.shape[-1]
+def _flash_bwd_rule(block_q, block_k, res, g):
+    qp, kp, vp, lse, o, q_shape, M = res
+    B, H, N, D = q_shape
     scale = D ** -0.5
-    qf = q.astype(jnp.float32) * scale
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    s = jnp.einsum("bhnd,bhmd->bhnm", qf, kf)
-    p = jax.nn.softmax(s, axis=-1)
-    dv = jnp.einsum("bhnm,bhnd->bhmd", p, gf)
-    dp = jnp.einsum("bhnd,bhmd->bhnm", gf, vf)
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, kf) * scale
-    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, qf)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    dp, bq, bk, mp, np_ = _geometry(N, M, D, block_q, block_k)
+    BH = B * H
+
+    gp = _pad_nd(g, np_, dp).reshape(BH, np_, dp)
+    # D_i = rowsum(dO * O) — cheap elementwise, fp32, padded rows give 0
+    op = _pad_nd(o, np_, dp).reshape(BH, np_, dp)
+    dvec = jnp.sum(gp.astype(jnp.float32) * op.astype(jnp.float32), axis=-1,
+                   keepdims=True)
+    dvec = jnp.broadcast_to(dvec, (BH, np_, _LANE))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, m_real=M, block_k=bk),
+        grid=(BH, np_ // bq),
+        in_specs=[
+            pl.BlockSpec((None, bq, dp), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, mp, dp), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, mp, dp), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((None, bq, _LANE), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, bq, _LANE), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, bq, dp), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, bq, dp), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, np_, dp), qp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(qp, kp, vp, lse, dvec, gp)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, m_real=M, n_real=N,
+                          block_q=bq),
+        grid=(BH, mp // bk),
+        in_specs=[
+            pl.BlockSpec((None, bk, dp), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, bk, dp), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((None, np_, dp), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, np_, _LANE), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, np_, _LANE), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, np_, dp), lambda b, j: (b, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((None, bk, dp), lambda b, j: (b, j, 0)),
+                   pl.BlockSpec((None, bk, dp), lambda b, j: (b, j, 0))),
+        out_shape=(jax.ShapeDtypeStruct((BH, mp, dp), kp.dtype),
+                   jax.ShapeDtypeStruct((BH, mp, dp), vp.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(kp, vp, qp, lse, dvec, gp)
+
+    dq = dq.reshape(B, H, np_, dp)[:, :, :N, :D]
+    dk = dk.reshape(B, H, mp, dp)[:, :, :M, :D]
+    dv = dv.reshape(B, H, mp, dp)[:, :, :M, :D]
+    return dq, dk, dv
 
 
-_flash_with_vjp.defvjp(_fwd_rule, _bwd_rule)
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
@@ -153,9 +272,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     block_k: int = 512) -> jax.Array:
     """q: (B, H, N, D); k, v: (B, H, M, D) -> (B, H, N, D).
 
-    Differentiable w.r.t. q/k/v via the custom VJP above. ``mask`` is
-    unsupported (the UNet paths are mask-free); masked cases take the XLA
-    core in ``ops.attention``.
+    Differentiable (flash backward kernels). ``mask`` is unsupported — masked
+    cases (CLIP causal) take the XLA core in ``ops.attention``.
     """
     assert mask is None, "pallas path is mask-free; use impl='xla'"
-    return _flash_with_vjp(q, k, v, block_q, block_k)
+    return _flash(q, k, v, block_q, block_k)

@@ -227,3 +227,53 @@ def test_clip_vision_shapes():
     params = jax.jit(net.init)(jax.random.key(0), x)
     out = jax.jit(net.apply)(params, x)
     assert out.shape == (2, cfg.proj_dim)
+
+
+# -- eval base layer ---------------------------------------------------------
+
+def test_eval_grid_and_infer(tmp_path):
+    from celebbasis_tpu.eval.base import (EvalGrid, ModelInfer,
+                                          GeneratedDataset, image_name,
+                                          parse_image_name)
+    grid = EvalGrid(["a photo of sks person",
+                     "sks person and ks person"], ids=[0, 1, 2],
+                    out_root=str(tmp_path), shift_id=1)
+    items = list(grid)
+    assert len(items) == 6
+    assert not items[0].two_person and items[3].two_person
+    assert items[3].pair_idx == 1  # id 0 pairs with id 1
+
+    calls = []
+
+    def infer_one(item):
+        calls.append(item.id_idx)
+        return [np.zeros((8, 8, 3), np.float32)] * 2
+
+    n = ModelInfer(infer_one).start_infer(grid, verbose=False)
+    assert n == 6 and len(calls) == 6
+    # resumable: second run does nothing
+    n2 = ModelInfer(infer_one).start_infer(grid, verbose=False)
+    assert n2 == 0 and len(calls) == 6
+
+    assert parse_image_name(image_name(3, 7, 2)) == (3, 7, 2)
+    groups = GeneratedDataset(str(tmp_path)).groups()
+    assert len(groups) == 6
+    key = sorted(groups)[0]
+    arr = GeneratedDataset(str(tmp_path)).load_group(groups[key])
+    assert arr.shape == (2, 8, 8, 3)
+
+
+def test_survey_reader(tmp_path):
+    from celebbasis_tpu.eval.survey import (preference_counts,
+                                            preference_rates,
+                                            read_survey_csv)
+    p = tmp_path / "survey.csv"
+    p.write_text("time,q1,q2\n"
+                 "t0,ours,ref\n"
+                 "t1,ours,ours\n"
+                 "t2,ref,ours\n")
+    rows = read_survey_csv(str(p))
+    counts = preference_counts(rows)
+    assert counts[0]["ours"] == 2 and counts[0]["ref"] == 1
+    rates = preference_rates(rows)
+    assert abs(rates["ours"] - 4 / 6) < 1e-9
