@@ -98,13 +98,26 @@ def main(argv=None):
     ds = FaceIdDataset(spec.train_data)
     loader = PrefetchLoader(ds, asm.tokenizer, spec.trainer.batch_size,
                             face_size=args.face_size, seed=args.seed)
+    val_loader = None
+    if spec.val_data and spec.val_data.pickle_path:
+        spec.val_data.image_size = args.image_size
+        if args.data_root:
+            spec.val_data.pickle_path = spec.train_data.pickle_path
+        try:
+            val_loader = PrefetchLoader(
+                FaceIdDataset(spec.val_data), asm.tokenizer,
+                spec.trainer.batch_size, face_size=args.face_size,
+                shuffle=False, seed=args.seed + 1)
+        except (ValueError, FileNotFoundError) as e:
+            print(f"[train] no validation data ({e})")
 
     trainable, meta_frozen = tstep.split_meta_params(asm.meta_params)
     frozen = {"unet": asm.params["unet"], "vae": asm.params["vae"],
               "clip": asm.params["clip"], "meta_frozen": meta_frozen}
 
     trainer = Trainer(asm.pipeline, asm.meta_net, frozen, asm.basis, loader,
-                      spec.trainer, mesh=mesh, run_dir=run_dir)
+                      spec.trainer, mesh=mesh, run_dir=run_dir,
+                      val_loader=val_loader)
     state = tstep.init_train_state(jax.random.key(args.seed), trainable,
                                    trainer.optimizer, asm.manager_state)
     print(f"[train] run dir: {run_dir}; lr="

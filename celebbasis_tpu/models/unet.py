@@ -29,6 +29,7 @@ import flax.linen as nn
 
 from celebbasis_tpu.ops.attention import attention
 from celebbasis_tpu.ops.basic import GroupNorm, LayerNorm, ZeroConv, timestep_embedding
+from celebbasis_tpu.ops.resize import upsample2x_nearest
 
 
 @dataclass(frozen=True)
@@ -224,8 +225,7 @@ class UNetModel(nn.Module):
                     h = Attn(cfg.num_heads, cfg.transformer_depth, self.dtype,
                              name=f"up_{level}_attn_{j}")(h, context)
             if level != 0:
-                B, H, W, C = h.shape
-                h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
+                h = upsample2x_nearest(h)
                 h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
                             param_dtype=jnp.float32,
                             name=f"up_{level}_upsample")(h)

@@ -23,6 +23,7 @@ import flax.linen as nn
 
 from celebbasis_tpu.ops.attention import attention
 from celebbasis_tpu.ops.basic import GroupNorm
+from celebbasis_tpu.ops.resize import upsample2x_nearest
 
 
 @dataclass(frozen=True)
@@ -130,8 +131,7 @@ class Decoder(nn.Module):
             for j in range(cfg.num_res_blocks + 1):
                 h = VAEResBlock(ch, self.dtype, name=f"up_{level}_res_{j}")(h)
             if level != 0:
-                B, H, W, C = h.shape
-                h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
+                h = upsample2x_nearest(h)
                 h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
                             param_dtype=jnp.float32,
                             name=f"up_{level}_upsample")(h)

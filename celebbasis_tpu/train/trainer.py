@@ -74,8 +74,13 @@ def effective_lr(cfg: TrainerConfig) -> float:
 class Trainer:
     def __init__(self, pipeline, meta_net: MetaIdNet, frozen_params: Dict,
                  basis, loader: PrefetchLoader, cfg: TrainerConfig,
-                 mesh=None, run_dir: Optional[str] = None, callbacks=()):
+                 mesh=None, run_dir: Optional[str] = None, callbacks=(),
+                 val_loader: Optional[PrefetchLoader] = None,
+                 val_every: int = 200, val_batches: int = 4):
         self.callbacks = list(callbacks)
+        self.val_loader = val_loader
+        self.val_every = val_every
+        self.val_batches = val_batches
         self.pipeline = pipeline
         self.meta_net = meta_net
         self.cfg = cfg
@@ -117,6 +122,26 @@ class Trainer:
         except (ValueError, OSError):  # non-main thread
             pass
 
+    # -- validation (reference Lightning val loop, ddpm.py:372-379) ---------
+    def validate(self, state: tstep.TrainState) -> float:
+        """Mean eps-MSE over a few val batches with a fixed rng (the
+        dictionaries/optimizer are untouched — the step runs on a copy)."""
+        losses = []
+        for bi, batch in enumerate(self.loader if self.val_loader is None
+                                   else self.val_loader):
+            if bi >= self.val_batches:
+                break
+            dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                         if k != "captions"}
+            if self.mesh is not None:
+                dev_batch = pmesh.shard_batch(dev_batch, self.mesh)
+            val_state = state._replace(rng=jax.random.key(0))
+            # jit_step donates arg 0; pass a throwaway copy
+            _, logs = self.jit_step(jax.tree.map(jnp.copy, val_state),
+                                    self.frozen, self.basis, dev_batch)
+            losses.append(float(logs["loss_simple"]))
+        return float(np.mean(losses)) if losses else float("nan")
+
     # -- main loop ----------------------------------------------------------
     def fit(self, state: tstep.TrainState) -> tstep.TrainState:
         cfg = self.cfg
@@ -154,6 +179,12 @@ class Trainer:
                         log_f.flush()
                     if step % cfg.ckpt_every == 0:
                         self.save(state)
+                    if (self.val_loader is not None
+                            and step % self.val_every == 0):
+                        val = self.validate(current["state"])
+                        log_f.write(json.dumps(
+                            {"step": step, "val_loss_simple": val}) + "\n")
+                        log_f.flush()
                     for cb in self.callbacks:
                         cb.on_step(step, self, state)
         except KeyboardInterrupt:

@@ -1,0 +1,84 @@
+"""Dynamic ``target:`` instantiation + reference-class registry.
+
+Parity with `/root/reference/ldm/util.py:78-93` (``instantiate_from_config`` /
+``get_obj_from_str``), extended with a translation table so configs written
+for the reference — whose ``target`` strings name torch classes like
+``ldm.data.face_id.FaceIdDatasetOneShot`` — instantiate this framework's
+equivalents without edits.
+"""
+from __future__ import annotations
+
+import importlib
+from typing import Any, Callable, Dict
+
+
+def _dataset(cls_defaults: Dict[str, Any] = {}):
+    def make(**params):
+        from celebbasis_tpu.data.face_id import (FaceIdDataset,
+                                                 FaceIdDatasetConfig)
+        import dataclasses
+        merged = {**cls_defaults, **params}
+        known = {f.name for f in dataclasses.fields(FaceIdDatasetConfig)}
+        cfg = FaceIdDatasetConfig(**{k: v for k, v in merged.items()
+                                     if k in known})
+        return FaceIdDataset(cfg)
+    return make
+
+
+def _personalized(style: bool):
+    def make(**params):
+        from celebbasis_tpu.data.personalized import (PersonalizedBase,
+                                                      PersonalizedConfig)
+        import dataclasses
+        known = {f.name for f in dataclasses.fields(PersonalizedConfig)}
+        params = dict(params)
+        params.setdefault("style", style)
+        if "placeholder_token" in params:
+            params["placeholder"] = params.pop("placeholder_token")
+        cfg = PersonalizedConfig(**{k: v for k, v in params.items()
+                                    if k in known})
+        return PersonalizedBase(cfg)
+    return make
+
+
+# reference target -> factory accepting the reference's params
+REFERENCE_TARGETS: Dict[str, Callable] = {
+    "ldm.data.face_id.FaceIdDatasetOneShot": _dataset(),
+    "ldm.data.face_id.FaceIdDatasetStyleGAN3": _dataset(),
+    "ldm.data.face_id.FaceIdDatasetE4T": _dataset(),
+    "ldm.data.face_id.FaceIdDatasetNobody": _dataset(),
+    "ldm.data.face_id.FaceIdDatasetVGG": _dataset(),
+    "ldm.data.personalized.PersonalizedBase": _personalized(False),
+    "ldm.data.personalized_style.PersonalizedBase": _personalized(True),
+    "torch.nn.Identity": lambda **_: (lambda x: x),
+}
+
+
+def get_obj_from_str(string: str, reload: bool = False):
+    module, cls = string.rsplit(".", 1)
+    mod = importlib.import_module(module)
+    if reload:
+        importlib.reload(mod)
+    return getattr(mod, cls)
+
+
+def instantiate_from_config(config: Dict) -> Any:
+    """{'target': 'pkg.Class', 'params': {...}} -> instance.
+
+    Reference targets are redirected to this framework's equivalents; unknown
+    ``ldm.*``/``torch.*`` targets raise with a pointer instead of importing
+    torch code.
+    """
+    if "target" not in config:
+        if config in ("__is_first_stage__", "__is_unconditional__"):
+            return None
+        raise KeyError("Expected key `target` to instantiate.")
+    target = config["target"]
+    params = config.get("params", {}) or {}
+    if target in REFERENCE_TARGETS:
+        return REFERENCE_TARGETS[target](**params)
+    if target.startswith(("ldm.", "torch.", "main.")):
+        raise ValueError(
+            f"reference target {target!r} has no registered TPU equivalent; "
+            f"supported: {sorted(REFERENCE_TARGETS)}")
+    return get_obj_from_str(target)(**params)
