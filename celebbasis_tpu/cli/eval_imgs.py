@@ -43,10 +43,18 @@ def _load_src_images(folder):
     return out
 
 
-def build_scorers(clip_ckpt=None, sphere_ckpt=None, vocab=None, seed=0):
-    vcfg = CLIPVisionConfig.vit_b32()
-    tcfg = CLIPTextConfig(width=512, layers=12, heads=8, mlp_dim=2048)
+def build_scorers(clip_ckpt=None, sphere_ckpt=None, vocab=None, seed=0,
+                  tiny=False):
+    if tiny:  # toy-sized scorers for functional verification
+        vcfg = CLIPVisionConfig.tiny()
+        tcfg = CLIPTextConfig.tiny()
+    else:
+        vcfg = CLIPVisionConfig.vit_b32()
+        tcfg = CLIPTextConfig(width=512, layers=12, heads=8, mlp_dim=2048)
     tokenizer = default_tokenizer(vocab)
+    if tokenizer.vocab_size != tcfg.vocab_size:
+        from celebbasis_tpu.text.tokenizer import CLIPTokenizer
+        tokenizer = CLIPTokenizer.synthetic(tcfg.vocab_size)
     vision = CLIPVisionEncoder(vcfg)
     text = CLIPTextTower(tcfg, proj_dim=vcfg.proj_dim)
     rng = jax.random.key(seed)
@@ -55,19 +63,21 @@ def build_scorers(clip_ckpt=None, sphere_ckpt=None, vocab=None, seed=0):
         vp, tp = convert_openai_clip(load_pt(clip_ckpt), vcfg, tcfg)
     else:
         print("[eval] WARNING: no CLIP checkpoint — random weights")
-        vp = jax.jit(vision.init)(rng, jnp.zeros((1, 224, 224, 3)))
+        vp = jax.jit(vision.init)(rng, jnp.zeros(
+            (1, vcfg.image_size, vcfg.image_size, 3)))
         tp = jax.jit(text.init)(rng, jnp.zeros((1, 77), jnp.int32))
     clip_eval = CLIPEvaluator(vp, tp, tokenizer, vcfg, tcfg)
 
-    scfg = SphereConfig.sphere20()
+    scfg = SphereConfig.tiny() if tiny else SphereConfig.sphere20()
     sphere = SphereNet(scfg)
     if sphere_ckpt:
         from celebbasis_tpu.utils.pt_io import load_pt
         sp = convert_sphere(load_pt(sphere_ckpt), scfg)
     else:
         print("[eval] WARNING: no sphere20 checkpoint — random weights")
-        sp = jax.jit(sphere.init)(rng, jnp.zeros((1, 112, 112, 3)))
-    id_eval = IdentityEvaluator(sp, cfg=scfg)
+        face = 32 if tiny else 112
+        sp = jax.jit(sphere.init)(rng, jnp.zeros((1, face, face, 3)))
+    id_eval = IdentityEvaluator(sp, cfg=scfg, face_size=32 if tiny else 112)
     return IdCLIPEvaluator(clip_eval, id_eval), clip_eval
 
 
@@ -80,11 +90,13 @@ def main(argv=None):
     p.add_argument("--sphere_ckpt", type=str, default=None)
     p.add_argument("--vocab", type=str, default=None)
     p.add_argument("--fid", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="toy-size scorers (functional verification)")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)
 
     evaluator, clip_eval = build_scorers(args.clip_ckpt, args.sphere_ckpt,
-                                         args.vocab)
+                                         args.vocab, tiny=args.tiny)
     src = _load_src_images(args.src_folder)
     calc = IDCLIPScoreCalculator(evaluator, src)
     scores = calc.start_calc(args.gen_root)

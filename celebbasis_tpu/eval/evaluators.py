@@ -90,15 +90,17 @@ class IdentityEvaluator:
     """
 
     def __init__(self, sphere_params, face_cropper=None,
-                 cfg: SphereConfig = SphereConfig.sphere20()):
+                 cfg: SphereConfig = SphereConfig.sphere20(),
+                 face_size: int = 112):
         self.net = SphereNet(cfg)
         self.params = sphere_params
         self.face_cropper = face_cropper
+        self.face_size = face_size
         self._embed = jax.jit(self._embed_fn)
 
     def _embed_fn(self, params, crops):
         faces = batched_affine_warp_resize(crops, INSIGHTFACE_TRANS_MATRIX,
-                                           (112, 112))
+                                           (self.face_size, self.face_size))
         return self.net.apply(params, faces)
 
     def embed_crops(self, crops_minus1_1: np.ndarray) -> np.ndarray:
