@@ -70,6 +70,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ids", type=int, nargs="+", default=[0, 1],
                    help="identity indices bound to placeholders sks, ks, ...")
     p.add_argument("--no-grid", action="store_true")
+    p.add_argument("--mesh", type=int, default=None,
+                   help="shard the sample batch over N devices (data-parallel"
+                        " sampling; n_samples must divide by N)")
     return p
 
 
@@ -115,12 +118,23 @@ def main(argv=None):
     k = len(asm.pipeline.manager_cfg.placeholder_token_ids)
     ids_row = (list(args.ids) + [0] * k)[:k]
     rng = jax.random.key(args.seed)
+    mesh = None
+    if args.mesh:
+        from celebbasis_tpu.parallel import mesh as pmesh
+        assert B % args.mesh == 0, "--n_samples must divide --mesh"
+        mesh = pmesh.make_mesh(n_data=args.mesh)
+        asm.params = pmesh.shard_params(asm.params, mesh)
+        print(f"[txt2img] data-parallel sampling over {args.mesh} devices")
     idx = 0
     for pi, prompt in enumerate(prompts):
         tokens = jnp.asarray(asm.tokenizer([prompt] * B))
         uncond = jnp.asarray(asm.tokenizer([""] * B))
         ids = jnp.asarray(np.tile(ids_row, (B, 1)).astype(np.int32))
         num_ids = jnp.full((B,), len(args.ids), jnp.int32)
+        if mesh is not None:
+            from celebbasis_tpu.parallel import mesh as pmesh
+            tokens, uncond, ids, num_ids = (
+                pmesh.shard_batch((tokens, uncond, ids, num_ids), mesh))
         rng, sub = jax.random.split(rng)
         imgs = fn(asm.params, asm.manager_state, asm.basis, tokens, uncond,
                   ids, num_ids, sub)
