@@ -112,6 +112,11 @@ def main(argv=None):
             print(f"[train] no validation data ({e})")
 
     trainable, meta_frozen = tstep.split_meta_params(asm.meta_params)
+    spec.trainer.unfreeze_model = spec.unfreeze_model
+    spec.trainer.model_lr = spec.model_lr
+    if spec.unfreeze_model:
+        print(f"[train] UNet unfrozen (model_lr={spec.model_lr})")
+        trainable = {"meta": trainable, "unet": asm.params["unet"]}
     frozen = {"unet": asm.params["unet"], "vae": asm.params["vae"],
               "clip": asm.params["clip"], "meta_frozen": meta_frozen}
 

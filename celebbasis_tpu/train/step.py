@@ -54,20 +54,36 @@ def merge_meta_params(trainable: Dict, frozen: Dict) -> Dict:
     return {"params": {**trainable["params"], **frozen["params"]}}
 
 
-def make_optimizer(lr: float = 1e-2) -> optax.GradientTransformation:
+def make_optimizer(lr: float = 1e-2,
+                   model_lr: Optional[float] = None
+                   ) -> optax.GradientTransformation:
     """AdamW, reference LR recipe: base 5e-3 scaled by batch (=1e-2 at bs2)
-    (main_id_embed.py:778-782, ddpm.py:1454)."""
-    return optax.adamw(lr)
+    (main_id_embed.py:778-782, ddpm.py:1454).
+
+    With ``model_lr`` set, a second AdamW drives the unfrozen UNet at its own
+    rate (the reference's ``unfreeze_model``/``model_lr`` path,
+    ddpm.py:1442-1466): the trainable pytree is then the dict
+    ``{"meta": ..., "unet": ...}`` and rates are routed by top-level key.
+    """
+    if model_lr is None:
+        return optax.adamw(lr)
+    return optax.multi_transform(
+        {"meta": optax.adamw(lr), "unet": optax.adamw(model_lr)},
+        param_labels=lambda params: {k: k for k in params})
 
 
 def make_train_step(pipeline, meta_net: MetaIdNet,
                     optimizer: optax.GradientTransformation,
-                    loss_type: str = "none"):
+                    loss_type: str = "none", train_unet: bool = False):
     """Returns jit-able ``step_fn(state, frozen_params, basis, batch)``.
 
     batch dict: image (B,H,W,3) in [-1,1]; tokens (B,77) int32;
     faces (B,k,Hf,Wf,3); ids (B,k) int32; num_ids (B,) int32.
     frozen_params: {"unet","vae","clip","meta_frozen"}.
+
+    With ``train_unet`` (reference ``unfreeze_model``), the trainable pytree
+    is ``{"meta": <mlp>, "unet": <unet params>}`` and the UNet receives
+    gradients too; otherwise it is the MLP subtree as before.
     """
     sched = ddpm.ScheduleArrays.from_schedule(pipeline.schedule)
     m_cfg = pipeline.manager_cfg
@@ -76,6 +92,8 @@ def make_train_step(pipeline, meta_net: MetaIdNet,
 
     def loss_fn(trainable, frozen, manager_state, basis, batch, rng):
         rng_z, rng_t, rng_eps = jax.random.split(rng, 3)
+        meta_trainable = trainable["meta"] if train_unet else trainable
+        unet_params = trainable["unet"] if train_unet else frozen["unet"]
         # 1. frozen VAE encode + posterior sample (ddpm.py:702-759)
         mean, logvar = pipeline.vae.apply(frozen["vae"], batch["image"],
                                           method=AutoencoderKL.encode)
@@ -87,7 +105,7 @@ def make_train_step(pipeline, meta_net: MetaIdNet,
         noise = jax.random.normal(rng_eps, z0.shape)
         z_t = ddpm.q_sample(sched, z0, t, noise)
         # 3. identity prediction + injection + text encoding
-        meta_params = merge_meta_params(trainable, frozen["meta_frozen"])
+        meta_params = merge_meta_params(meta_trainable, frozen["meta_frozen"])
         pred_z, pred_coeff = meta_net.apply(
             meta_params, batch["faces"], batch["ids"], basis,
             method=MetaIdNet.multi_faces)
@@ -98,8 +116,8 @@ def make_train_step(pipeline, meta_net: MetaIdNet,
             batch["ids"], batch["num_ids"])
         context = pipeline.clip.apply(frozen["clip"], new_embeds,
                                       method=CLIPTextEncoder.encode)
-        # 4. frozen UNet eps prediction + loss
-        eps_pred = pipeline.unet.apply(frozen["unet"], z_t, t, context)
+        # 4. UNet eps prediction + loss (frozen unless train_unet)
+        eps_pred = pipeline.unet.apply(unet_params, z_t, t, context)
         loss, logs = ddpm.eps_mse_loss(eps_pred, noise)
         reg = mgr.coefficient_reg_loss(loss_type,
                                        pred_coeff.reshape(-1, pred_coeff.shape[-1]))

@@ -50,6 +50,8 @@ class TrainerConfig:
     scale_lr: bool = True
     accumulate: int = 1
     loss_type: str = "none"
+    unfreeze_model: bool = False
+    model_lr: float = 0.0
     log_every: int = 10
     seed: int = 23
     n_data_shards: int = 1
@@ -90,9 +92,11 @@ class Trainer:
         self.metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
 
         lr = effective_lr(cfg)
-        self.optimizer = tstep.make_optimizer(lr)
+        self.optimizer = tstep.make_optimizer(
+            lr, cfg.model_lr if cfg.unfreeze_model else None)
         step_fn = tstep.make_train_step(pipeline, meta_net, self.optimizer,
-                                        loss_type=cfg.loss_type)
+                                        loss_type=cfg.loss_type,
+                                        train_unet=cfg.unfreeze_model)
         self.jit_step = jax.jit(step_fn, donate_argnums=(0,))
 
         if mesh is not None:

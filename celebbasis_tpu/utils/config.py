@@ -93,6 +93,8 @@ class RunSpec:
     timesteps: int
     linear_start: float
     linear_end: float
+    unfreeze_model: bool
+    model_lr: float
     trainer: TrainerConfig
     train_data: Optional[FaceIdDatasetConfig]
     val_data: Optional[FaceIdDatasetConfig]
@@ -214,6 +216,8 @@ def run_spec_from_config(cfg: Dict) -> RunSpec:
         timesteps=mp.get("timesteps", 1000),
         linear_start=mp.get("linear_start", 0.00085),
         linear_end=mp.get("linear_end", 0.0120),
+        unfreeze_model=mp.get("unfreeze_model", False),
+        model_lr=mp.get("model_lr", 0.0),
         trainer=trainer,
         train_data=_dataset_cfg(get(cfg, "data.params.train")),
         val_data=_dataset_cfg(get(cfg, "data.params.validation")),

@@ -277,3 +277,27 @@ def test_survey_reader(tmp_path):
     assert counts[0]["ours"] == 2 and counts[0]["ref"] == 1
     rates = preference_rates(rows)
     assert abs(rates["ours"] - 4 / 6) < 1e-9
+
+
+def test_landmark_metrics():
+    from celebbasis_tpu.align.metrics import compute_fr_and_auc, compute_nme
+    gt = np.random.default_rng(0).uniform(0, 100, (98, 2))
+    assert compute_nme(gt, gt, norm=10.0) == 0.0
+    pred = gt + 1.0  # every landmark off by sqrt(2)
+    np.testing.assert_allclose(compute_nme(pred, gt, norm=np.sqrt(2)), 1.0,
+                               rtol=1e-6)
+    fr, auc = compute_fr_and_auc([0.01, 0.02, 0.5], thres=0.1)
+    np.testing.assert_allclose(fr, 1 / 3, rtol=1e-6)
+    assert 0 < auc < 1
+
+
+def test_verification_accuracy():
+    from celebbasis_tpu.align.metrics import verification_accuracy
+    rng = np.random.default_rng(1)
+    pos = rng.normal(0.8, 0.05, 100)
+    neg = rng.normal(0.2, 0.05, 100)
+    scores = np.concatenate([pos, neg])
+    labels = np.concatenate([np.ones(100), np.zeros(100)])
+    order = rng.permutation(200)
+    acc, std = verification_accuracy(scores[order], labels[order])
+    assert acc > 0.98

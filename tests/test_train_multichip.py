@@ -93,3 +93,23 @@ def test_dryrun_multichip_8():
 def test_dryrun_multichip_odd():
     import __graft_entry__ as g
     g.dryrun_multichip(5)  # pure-DP path
+
+
+def test_unfreeze_model_step():
+    """unfreeze_model path: UNet receives gradients at model_lr."""
+    from celebbasis_tpu.train import step as tstep
+    pipe, meta, _, state, frozen, basis, batch = _tiny_setup()
+    opt = tstep.make_optimizer(1e-2, model_lr=1e-4)
+    step_fn = jax.jit(tstep.make_train_step(pipe, meta, opt,
+                                            train_unet=True))
+    trainable = {"meta": state.trainable, "unet": frozen["unet"]}
+    st = tstep.init_train_state(jax.random.key(1), trainable, opt,
+                                state.manager_state)
+    new_st, logs = step_fn(st, frozen, basis, batch)
+    assert np.isfinite(float(logs["loss"]))
+    d = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a - b)).max()),
+                     trainable["unet"], new_st.trainable["unet"])
+    assert max(jax.tree.leaves(d)) > 0, "UNet params did not move"
+    d2 = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a - b)).max()),
+                      trainable["meta"], new_st.trainable["meta"])
+    assert max(jax.tree.leaves(d2)) > 0, "MLP params did not move"
