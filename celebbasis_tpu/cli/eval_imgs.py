@@ -82,6 +82,9 @@ def build_scorers(clip_ckpt=None, sphere_ckpt=None, vocab=None, seed=0,
 
 
 def main(argv=None):
+    # metric fidelity over speed: fp32 matmuls (TPU MXU defaults to bf16
+    # multiplication, ~1e-3 noise — fine for generation, not for scoring)
+    jax.config.update("jax_default_matmul_precision", "highest")
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--gen_root", type=str, required=True)
     p.add_argument("--src_folder", type=str, required=True,
