@@ -267,13 +267,20 @@ _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_jit(q, k, v, block_q, block_k):
+    return _flash(q, k, v, block_q, block_k)
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    mask=None, block_q: int = 256,
-                    block_k: int = 512) -> jax.Array:
+                    mask=None, block_q: int | None = None,
+                    block_k: int | None = None) -> jax.Array:
     """q: (B, H, N, D); k, v: (B, H, M, D) -> (B, H, N, D).
 
     Differentiable (flash backward kernels). ``mask`` is unsupported — masked
     cases (CLIP causal) take the XLA core in ``ops.attention``.
     """
     assert mask is None, "pallas path is mask-free; use impl='xla'"
-    return _flash(q, k, v, block_q, block_k)
+    # (256, 512) measured best end-to-end in the SD UNet on v5e; isolated
+    # kernel sweeps preferred (128, 1024) for 4096-token self-attention but
+    # regressed the full model ~4% — keep the fused-graph winner.
+    return _flash_jit(q, k, v, block_q or 256, block_k or 512)
