@@ -42,6 +42,10 @@ def build_argparser():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--mesh", type=int, nargs="+", default=None,
                    help="data [model] shard counts, e.g. --mesh 8 or 4 2")
+    p.add_argument("--cache_latents", type=int, default=0,
+                   help="fast mode: precompute N augmented batches of frozen "
+                        "VAE posteriors + FR features and cycle them (exact "
+                        "per-sample semantics; aug variety limited to N*bs)")
     p.add_argument("-r", "--resume", type=str, default=None,
                    help="resume from a run dir (loads the latest "
                         "embeddings_gs-*.pt; reference main_id_embed -r)")
@@ -60,6 +64,7 @@ def main(argv=None):
         spec.trainer.max_steps = args.max_steps
     if spec.train_data:
         spec.train_data.image_size = args.image_size
+    spec.trainer.cache_latents = args.cache_latents
     spec.trainer.name = args.name
     spec.trainer.logdir = args.logdir
     spec.trainer.seed = args.seed

@@ -123,9 +123,29 @@ class MetaIdNet(nn.Module):
         if cfg.use_rm_mlp:
             return self.coef_table[id_idx]
         v = self.face_features(faces)
+        return self.coefficients_from_features(v)
+
+    def coefficients_from_features(self, v: jax.Array) -> jax.Array:
+        """(N, fr_dim) frozen id features -> normalized coefficients.
+
+        Split out so the frozen FR forward can be cached across steps
+        (fast-personalization mode) — only the MLP is trainable anyway.
+        """
+        cfg = self.cfg
         x = self.mlp(v)  # (N, es*heads*inner)
         x = x.reshape(-1, cfg.num_es, cfg.heads, cfg.inner_dim)
         return l2_normalize(x, axis=-1)
+
+    def z_from_features(self, v: jax.Array, celeb_basis: jax.Array
+                        ) -> Tuple[jax.Array, jax.Array]:
+        """Cached-feature equivalent of __call__: (N, fr_dim) -> (z, coeff)."""
+        cfg = self.cfg
+        coeff = self.coefficients_from_features(v)
+        mean, pca = celeb_basis[:, 0], celeb_basis[:, 1:]
+        z = jnp.einsum("behk,ekc->behc", coeff, pca.astype(coeff.dtype)) \
+            + mean[None, :, None, :]
+        z = z.reshape(z.shape[0], cfg.num_es * cfg.heads, cfg.token_dim)
+        return z, coeff
 
     def __call__(self, faces: jax.Array, id_idx: jax.Array,
                  celeb_basis: jax.Array) -> Tuple[jax.Array, jax.Array]:

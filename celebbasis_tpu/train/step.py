@@ -143,3 +143,93 @@ def init_train_state(rng: jax.Array, trainable, optimizer,
                      manager_state: mgr.ManagerState) -> TrainState:
     return TrainState(jnp.zeros((), jnp.int32), trainable,
                       optimizer.init(trainable), manager_state, rng)
+
+
+def make_cached_train_step(pipeline, meta_net: MetaIdNet,
+                           optimizer: optax.GradientTransformation,
+                           loss_type: str = "none"):
+    """Fast-personalization step over precomputed frozen features.
+
+    Exact-semantics optimization: the VAE posterior (mean, logvar) and the
+    frozen FR-net features are deterministic functions of the augmented
+    inputs, so they can be computed once per augmented sample and reused —
+    the per-step compute reduces to UNet + CLIP + MLP.  The posterior is
+    still *sampled* fresh each step.
+
+    batch: latent_mean/latent_logvar (B,h,w,4); fr_feats (B,k,fr_dim);
+    tokens (B,77); ids (B,k); num_ids (B,).
+    """
+    sched = ddpm.ScheduleArrays.from_schedule(pipeline.schedule)
+    m_cfg = pipeline.manager_cfg
+    scale = pipeline.cfg.scale_factor
+    T = pipeline.cfg.timesteps
+
+    def loss_fn(trainable, frozen, manager_state, basis, batch, rng):
+        rng_z, rng_t, rng_eps = jax.random.split(rng, 3)
+        z0 = sample_posterior(rng_z, batch["latent_mean"],
+                              batch["latent_logvar"]) * scale
+        B = z0.shape[0]
+        t = jax.random.randint(rng_t, (B,), 0, T)
+        noise = jax.random.normal(rng_eps, z0.shape)
+        z_t = ddpm.q_sample(sched, z0, t, noise)
+        meta_params = merge_meta_params(trainable, frozen["meta_frozen"])
+        k = batch["fr_feats"].shape[1]
+        v = batch["fr_feats"].reshape(-1, batch["fr_feats"].shape[-1])
+        z, coeff = meta_net.apply(meta_params, v, basis,
+                                  method=MetaIdNet.z_from_features)
+        pred_z = z.reshape(B, k, *z.shape[1:])
+        pred_coeff = coeff.reshape(B, k, *coeff.shape[1:])
+        embeds = pipeline.clip.apply(frozen["clip"], batch["tokens"],
+                                     method=CLIPTextEncoder.token_embed)
+        new_embeds, new_mstate = mgr.train_inject(
+            m_cfg, manager_state, batch["tokens"], embeds, pred_z, pred_coeff,
+            batch["ids"], batch["num_ids"])
+        context = pipeline.clip.apply(frozen["clip"], new_embeds,
+                                      method=CLIPTextEncoder.encode)
+        eps_pred = pipeline.unet.apply(frozen["unet"], z_t, t, context)
+        loss, logs = ddpm.eps_mse_loss(eps_pred, noise)
+        reg = mgr.coefficient_reg_loss(
+            loss_type, pred_coeff.reshape(-1, pred_coeff.shape[-1]))
+        logs["loss_reg"] = reg
+        return loss + reg, (new_mstate, logs)
+
+    def step_fn(state: TrainState, frozen, basis, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        grads, (new_mstate, logs) = jax.grad(loss_fn, has_aux=True)(
+            state.trainable, frozen, state.manager_state, basis, batch,
+            step_rng)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        return TrainState(state.step + 1, new_trainable, new_opt, new_mstate,
+                          rng), logs
+
+    return step_fn
+
+
+def precompute_cache(pipeline, meta_net: MetaIdNet, meta_params, vae_params,
+                     loader, n_batches: int):
+    """Run the frozen VAE + FR-net over ``n_batches`` augmented batches and
+    return a list of cached-step batches."""
+    from celebbasis_tpu.models.vae import AutoencoderKL
+
+    enc = jax.jit(lambda p, x: pipeline.vae.apply(
+        p, x, method=AutoencoderKL.encode))
+    feats = jax.jit(lambda p, f: meta_net.apply(
+        p, f, method=MetaIdNet.face_features))
+    cached = []
+    for bi, batch in enumerate(loader):
+        if bi >= n_batches:
+            break
+        mean, logvar = enc(vae_params, jnp.asarray(batch["image"]))
+        B, k = batch["faces"].shape[:2]
+        flat = jnp.asarray(batch["faces"]).reshape((B * k,)
+                                                   + batch["faces"].shape[2:])
+        v = feats(meta_params, flat).reshape(B, k, -1)
+        cached.append({
+            "latent_mean": mean, "latent_logvar": logvar, "fr_feats": v,
+            "tokens": jnp.asarray(batch["tokens"]),
+            "ids": jnp.asarray(batch["ids"]),
+            "num_ids": jnp.asarray(batch["num_ids"]),
+        })
+    return cached

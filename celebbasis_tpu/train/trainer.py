@@ -52,6 +52,7 @@ class TrainerConfig:
     loss_type: str = "none"
     unfreeze_model: bool = False
     model_lr: float = 0.0
+    cache_latents: int = 0   # >0: precompute N batches of frozen features
     log_every: int = 10
     seed: int = 23
     n_data_shards: int = 1
@@ -94,10 +95,19 @@ class Trainer:
         lr = effective_lr(cfg)
         self.optimizer = tstep.make_optimizer(
             lr, cfg.model_lr if cfg.unfreeze_model else None)
-        step_fn = tstep.make_train_step(pipeline, meta_net, self.optimizer,
-                                        loss_type=cfg.loss_type,
-                                        train_unet=cfg.unfreeze_model)
+        if cfg.cache_latents > 0:
+            assert not cfg.unfreeze_model, \
+                "cache_latents requires the frozen-UNet path"
+            step_fn = tstep.make_cached_train_step(pipeline, meta_net,
+                                                   self.optimizer,
+                                                   loss_type=cfg.loss_type)
+        else:
+            step_fn = tstep.make_train_step(pipeline, meta_net,
+                                            self.optimizer,
+                                            loss_type=cfg.loss_type,
+                                            train_unet=cfg.unfreeze_model)
         self.jit_step = jax.jit(step_fn, donate_argnums=(0,))
+        self._cache = None
 
         if mesh is not None:
             self.frozen = pmesh.shard_params(frozen_params, mesh)
@@ -154,18 +164,40 @@ class Trainer:
         log_f = open(self.metrics_path, "a")
         step = int(state.step)
         t_start = time.perf_counter()
+        if cfg.cache_latents > 0 and self._cache is None:
+            # fast-personalization mode: precompute frozen VAE posteriors +
+            # FR features once; steps then cycle the cached batches
+            print(f"[trainer] caching {cfg.cache_latents} augmented batches "
+                  f"of frozen features")
+            self._cache = tstep.precompute_cache(
+                self.pipeline, self.meta_net,
+                self.frozen["meta_frozen"],  # fr_net lives in the frozen tree
+                self.frozen["vae"], self.loader, cfg.cache_latents)
+
+        def batches():
+            if self._cache is not None:
+                i = 0
+                while True:
+                    yield self._cache[i % len(self._cache)]
+                    i += 1
+            else:
+                yield from self.loader
+
         try:
             while step < cfg.max_steps and not self._interrupted:
-                for batch in self.loader:
+                for batch in batches():
                     if step >= cfg.max_steps or self._interrupted:
                         break
-                    dev_batch = {
-                        "image": jnp.asarray(batch["image"]),
-                        "tokens": jnp.asarray(batch["tokens"]),
-                        "faces": jnp.asarray(batch["faces"]),
-                        "ids": jnp.asarray(batch["ids"]),
-                        "num_ids": jnp.asarray(batch["num_ids"]),
-                    }
+                    if self._cache is not None:
+                        dev_batch = batch  # already device-resident features
+                    else:
+                        dev_batch = {
+                            "image": jnp.asarray(batch["image"]),
+                            "tokens": jnp.asarray(batch["tokens"]),
+                            "faces": jnp.asarray(batch["faces"]),
+                            "ids": jnp.asarray(batch["ids"]),
+                            "num_ids": jnp.asarray(batch["num_ids"]),
+                        }
                     if self.mesh is not None:
                         dev_batch = pmesh.shard_batch(dev_batch, self.mesh)
                     t0 = time.perf_counter()

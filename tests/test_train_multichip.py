@@ -113,3 +113,35 @@ def test_unfreeze_model_step():
     d2 = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a - b)).max()),
                       trainable["meta"], new_st.trainable["meta"])
     assert max(jax.tree.leaves(d2)) > 0, "MLP params did not move"
+
+
+def test_cached_step_matches_uncached():
+    """Fast-personalization step must reproduce the standard step exactly
+    (same rng, same augmented sample): the cached quantities are
+    deterministic functions of the inputs."""
+    from celebbasis_tpu.models.vae import AutoencoderKL
+    from celebbasis_tpu.core.meta_net import MetaIdNet
+
+    pipe, meta, step_fn, state, frozen, basis, batch = _tiny_setup()
+    jit_std = jax.jit(step_fn)
+    new_std, logs_std = jit_std(state, frozen, basis, batch)
+
+    mean, logvar = pipe.vae.apply(frozen["vae"], batch["image"],
+                                  method=AutoencoderKL.encode)
+    B, k = batch["faces"].shape[:2]
+    flat = batch["faces"].reshape((B * k,) + batch["faces"].shape[2:])
+    v = meta.apply(frozen["meta_frozen"], flat,
+                   method=MetaIdNet.face_features).reshape(B, k, -1)
+    cached_batch = {"latent_mean": mean, "latent_logvar": logvar,
+                    "fr_feats": v, "tokens": batch["tokens"],
+                    "ids": batch["ids"], "num_ids": batch["num_ids"]}
+
+    from celebbasis_tpu.train import step as tstep
+    opt = tstep.make_optimizer(1e-2)
+    cached_fn = jax.jit(tstep.make_cached_train_step(pipe, meta, opt))
+    new_c, logs_c = cached_fn(state, frozen, basis, cached_batch)
+    np.testing.assert_allclose(float(logs_c["loss"]),
+                               float(logs_std["loss"]), rtol=1e-5)
+    a = jax.tree.leaves(new_std.trainable)[0]
+    b = jax.tree.leaves(new_c.trainable)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
