@@ -76,3 +76,22 @@ def test_train_txt2img_extract(workdir):
     coeff = np.asarray(load_pt(os.path.join(exdir, "id_coefficient_0.pt")))
     emb = np.asarray(load_pt(os.path.join(exdir, "id_embedding_0.pt")))
     np.testing.assert_allclose(reconstruct(coeff, basis), emb, atol=1e-5)
+
+
+def test_train_cached_latents(workdir):
+    """--cache_latents CLI path: trainer precomputes frozen features."""
+    from celebbasis_tpu.cli import train
+
+    cfg = os.path.join(REPO, "configs", "tiny.yaml")
+    run_dir = train.main([
+        "--base", cfg, "--name", "cachetest",
+        "--logdir", str(workdir / "logs_cached"),
+        "--data_root", str(workdir / "data"),
+        "--image_size", "32", "--face_size", "32",
+        "--max_steps", "6", "--cache_latents", "2",
+    ])
+    assert os.path.exists(os.path.join(run_dir, "checkpoints",
+                                       "embeddings_gs-6.pt"))
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines, "no metrics logged"
