@@ -40,20 +40,19 @@ def _kernel(x_ref, w_ref, ws_ref, o_ref, *, block_k: int):
     bm, K = x_ref.shape
     bn = w_ref.shape[1]
     x = x_ref[:].astype(jnp.float32)
-    # per-row dynamic activation quantization
+    # per-row dynamic activation quantization (scales over the full row)
     absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
     xs = jnp.maximum(absmax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
 
-    def body(kb, acc):
-        xk = jax.lax.dynamic_slice(xq, (0, kb * block_k), (bm, block_k))
+    # statically unrolled K loop (Mosaic has no dynamic_slice on values)
+    acc = jnp.zeros((bm, bn), jnp.int32)
+    for kb in range(K // block_k):
+        xk = jax.lax.slice(xq, (0, kb * block_k), (bm, (kb + 1) * block_k))
         wk = w_ref[pl.ds(kb * block_k, block_k), :]
-        return acc + jax.lax.dot_general(
+        acc = acc + jax.lax.dot_general(
             xk, wk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-
-    acc = jax.lax.fori_loop(0, K // block_k, body,
-                            jnp.zeros((bm, bn), jnp.int32))
     o_ref[:] = (acc.astype(jnp.float32) * xs * ws_ref[0, :]
                 ).astype(o_ref.dtype)
 
