@@ -66,10 +66,6 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     return x / jnp.maximum(norm, eps)
 
 
-def zeros_init():
-    return nn.initializers.zeros
-
-
 class ZeroConv(nn.Module):
     """3x3 conv initialized to zero — the reference's zero_module(conv_nd) output
     layers (`openaimodel.py:163-277`)."""
