@@ -173,6 +173,10 @@ class Trainer:
                 self.pipeline, self.meta_net,
                 self.frozen["meta_frozen"],  # fr_net lives in the frozen tree
                 self.frozen["vae"], self.loader, cfg.cache_latents)
+            if self.mesh is not None:
+                # shard the cached feature batches once, up front
+                self._cache = [pmesh.shard_batch(b, self.mesh)
+                               for b in self._cache]
 
         def batches():
             if self._cache is not None:
@@ -198,7 +202,7 @@ class Trainer:
                             "ids": jnp.asarray(batch["ids"]),
                             "num_ids": jnp.asarray(batch["num_ids"]),
                         }
-                    if self.mesh is not None:
+                    if self.mesh is not None and self._cache is None:
                         dev_batch = pmesh.shard_batch(dev_batch, self.mesh)
                     t0 = time.perf_counter()
                     state, logs = self.jit_step(current["state"], self.frozen,

@@ -95,3 +95,19 @@ def test_train_cached_latents(workdir):
     with open(os.path.join(run_dir, "metrics.jsonl")) as f:
         lines = f.read().strip().splitlines()
     assert lines, "no metrics logged"
+
+
+def test_train_cached_with_mesh(workdir):
+    """--cache_latents combined with --mesh: cached batches are sharded."""
+    from celebbasis_tpu.cli import train
+
+    cfg = os.path.join(REPO, "configs", "tiny.yaml")
+    run_dir = train.main([
+        "--base", cfg, "--name", "cachemesh",
+        "--logdir", str(workdir / "logs_cm"),
+        "--data_root", str(workdir / "data"),
+        "--image_size", "32", "--face_size", "32",
+        "--max_steps", "4", "--cache_latents", "2", "--mesh", "2",
+    ])
+    assert os.path.exists(os.path.join(run_dir, "checkpoints",
+                                       "embeddings_gs-4.pt"))
