@@ -208,7 +208,9 @@ class Trainer:
                     state, logs = self.jit_step(current["state"], self.frozen,
                                                 self.basis, dev_batch)
                     current["state"] = state
-                    step = int(state.step)
+                    # host-side counter: pulling state.step would force a
+                    # device sync every iteration and break async dispatch
+                    step += 1
                     if step % cfg.log_every == 0 or step == 1:
                         loss = float(logs["loss"])
                         rec = {"step": step, "loss": loss,
