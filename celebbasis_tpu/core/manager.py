@@ -112,8 +112,12 @@ def train_inject(cfg: ManagerConfig, state: ManagerState,
     Returns (new_embeds (B,L,D), new_state).
     """
     B, k = ids.shape
-    # id vectors for placeholders p=0..P-1 come from face slot p (the
-    # reference uses meta[0], meta[1], meta[id_cnt//2] for 1/2/3 persons).
+    # id vectors for placeholders p=0..P-1 come from face slot p.
+    # Known deviation: for the (experimental) 3-person case the reference
+    # wires the 3rd placeholder to meta[id_cnt//2] — the *second augmentation
+    # of the main id* — with the 2nd person's coefficients
+    # (embedding_manager.py:299-304,363-391); slot p here uses person p's own
+    # prediction, which is the evident intent.
     id_vectors = pred_z.reshape(B, k * cfg.reps, -1)
     new_embeds = inject_batch(tokens, embeds, id_vectors,
                               jnp.asarray(cfg.placeholder_token_ids, jnp.int32),
