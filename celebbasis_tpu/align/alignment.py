@@ -84,24 +84,40 @@ def estimate_norm(lmk5: np.ndarray, image_size: int = 112,
     return umeyama_similarity(lmk5, src)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _warp_jit(in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+    """One compiled warp per (input, output) geometry — the eager per-op
+    dispatch otherwise dominates W0 throughput on slow hosts."""
+    H, W = in_hw
+    oh, ow = out_hw
+
+    def fn(image, Ainv):
+        ys, xs = jnp.meshgrid(jnp.arange(oh, dtype=jnp.float32),
+                              jnp.arange(ow, dtype=jnp.float32),
+                              indexing="ij")
+        ones = jnp.ones_like(xs)
+        hom = jnp.stack([xs, ys, ones], -1)
+        coords = hom @ Ainv.T  # (oh, ow, 2) source pixel coords
+        gx = 2.0 * coords[..., 0] / (W - 1) - 1.0
+        gy = 2.0 * coords[..., 1] / (H - 1) - 1.0
+        grid = jnp.stack([gx, gy], -1)
+        return grid_sample_bilinear(image, grid, align_corners=True)
+
+    return jax.jit(fn)
+
+
 def warp_affine_pixels(image: np.ndarray, M: np.ndarray,
                        out_size: Tuple[int, int]) -> np.ndarray:
     """cv2.warpAffine equivalent: dst(x,y) = src(M^-1 [x,y,1]), bilinear,
     zero border. image: (H,W,C) float; M: (2,3) src->dst pixel transform."""
     H, W = image.shape[:2]
-    oh, ow = out_size
     A = np.vstack([M, [0, 0, 1]]).astype(np.float64)
-    Ainv = np.linalg.inv(A)[:2]
-    ys, xs = np.meshgrid(np.arange(oh), np.arange(ow), indexing="ij")
-    ones = np.ones_like(xs)
-    coords = np.stack([xs, ys, ones], -1) @ Ainv.T  # (oh, ow, 2) src pixels
-    # pixel -> align_corners normalized coords for the shared sampler
-    gx = 2.0 * coords[..., 0] / (W - 1) - 1.0
-    gy = 2.0 * coords[..., 1] / (H - 1) - 1.0
-    grid = jnp.asarray(np.stack([gx, gy], -1), jnp.float32)
-    out = grid_sample_bilinear(jnp.asarray(image, jnp.float32), grid,
-                               align_corners=True)
-    return np.asarray(out)
+    Ainv = np.linalg.inv(A)[:2].astype(np.float32)
+    fn = _warp_jit((H, W), tuple(out_size))
+    return np.asarray(fn(jnp.asarray(image, jnp.float32), jnp.asarray(Ainv)))
 
 
 def norm_crop(image: np.ndarray, lmk5: np.ndarray, image_size: int = 112,
