@@ -179,6 +179,50 @@ def convert_openai_clip(state, vision_cfg: CLIPVisionConfig,
     return vision_params, text_params
 
 
+def convert_hf_clip(state, vision_cfg: CLIPVisionConfig,
+                    text_cfg: CLIPTextConfig):
+    """HuggingFace CLIPModel state dict -> (vision_params, text_tower_params).
+
+    HF layout: ``vision_model.*`` (pre_layrnorm/post_layernorm, separate
+    q/k/v projections), ``text_model.*``, ``visual_projection`` /
+    ``text_projection`` Linear weights (transposed vs OpenAI's matrices).
+    """
+    from celebbasis_tpu.utils.bridge import KeyMap, _lin, unflatten
+
+    state = {k: np.asarray(v, np.float32) for k, v in state.items()
+             if hasattr(v, "shape")}
+    kv = KeyMap(state)
+    w = kv.take("vision_model.embeddings.patch_embedding.weight")
+    kv.put("patch_embed/kernel", w.transpose(2, 3, 1, 0))
+    kv.put("class_embedding",
+           kv.take("vision_model.embeddings.class_embedding"))
+    kv.put("position_embedding",
+           kv.take("vision_model.embeddings.position_embedding.weight"))
+    kv.norm("ln_pre/LayerNorm_0", "vision_model.pre_layrnorm")
+    for i in range(vision_cfg.layers):
+        s = f"vision_model.encoder.layers.{i}"
+        d = f"layer_{i}"
+        kv.norm(f"{d}/ln1/LayerNorm_0", f"{s}.layer_norm1")
+        kv.norm(f"{d}/ln2/LayerNorm_0", f"{s}.layer_norm2")
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            kv.linear(f"{d}/{proj}", f"{s}.self_attn.{proj}")
+        kv.linear(f"{d}/fc1", f"{s}.mlp.fc1")
+        kv.linear(f"{d}/fc2", f"{s}.mlp.fc2")
+    kv.norm("ln_post/LayerNorm_0", "vision_model.post_layernorm")
+    kv.put("proj", _lin(kv.take("visual_projection.weight")))
+    vision_params = {"params": unflatten(kv.out)}
+
+    from celebbasis_tpu.utils.bridge import convert_clip_text
+    text_enc = convert_clip_text(
+        {f"x.{k}": v for k, v in state.items()
+         if k.startswith("text_model.")}, layers=text_cfg.layers,
+        prefix="x.")
+    kt = KeyMap(state)
+    text_params = {"params": {"encoder": text_enc["params"],
+                              "proj": _lin(kt.take("text_projection.weight"))}}
+    return vision_params, text_params
+
+
 def _split_in_proj(km, src: str, dst: str, width: int):
     from celebbasis_tpu.utils.bridge import _lin
     w = km.take(f"{src}.attn.in_proj_weight")   # (3w, w)

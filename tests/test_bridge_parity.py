@@ -138,3 +138,50 @@ def test_iresnet_parity_tiny():
     got = jax.jit(model.apply)(params,
                                jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), ref_out, atol=5e-4, rtol=1e-3)
+
+
+def test_clip_full_model_parity_tiny():
+    """Eval scorer towers (vision + projected text) vs transformers CLIPModel."""
+    import transformers
+    from celebbasis_tpu.models.clip_vit import (CLIPVisionConfig,
+                                                CLIPVisionEncoder,
+                                                CLIPTextTower,
+                                                convert_hf_clip)
+
+    tcfg_hf = transformers.CLIPTextConfig(
+        vocab_size=1024, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=77, hidden_act="quick_gelu",
+        projection_dim=32, eos_token_id=1023)
+    vcfg_hf = transformers.CLIPVisionConfig(
+        hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8,
+        hidden_act="quick_gelu", projection_dim=32)
+    cfg_hf = transformers.CLIPConfig.from_text_vision_configs(
+        tcfg_hf, vcfg_hf, projection_dim=32)
+    torch.manual_seed(5)
+    ref = transformers.CLIPModel(cfg_hf).eval()
+
+    imgs = torch.randn(2, 3, 32, 32)
+    ids = torch.randint(0, 1000, (2, 77))
+    # HF pools the text tower at the highest token id position for the
+    # original CLIP checkpoints; place the true EOT (1023) at a fixed spot
+    ids[:, 50] = 1023
+    with torch.no_grad():
+        img_ref = ref.get_image_features(pixel_values=imgs).numpy()
+        txt_ref = ref.get_text_features(input_ids=ids).numpy()
+
+    vcfg = CLIPVisionConfig(image_size=32, patch_size=8, width=64, layers=2,
+                            heads=4, proj_dim=32)
+    tcfg = CLIPTextConfig(vocab_size=1024, width=64, layers=2, heads=4,
+                          mlp_dim=128)
+    vp, tp = convert_hf_clip(_np_state(ref), vcfg, tcfg)
+    vision = CLIPVisionEncoder(vcfg)
+    text = CLIPTextTower(tcfg, proj_dim=32)
+    got_img = jax.jit(vision.apply)(
+        vp, jnp.asarray(imgs.numpy().transpose(0, 2, 3, 1)))
+    got_txt = jax.jit(text.apply)(tp, jnp.asarray(ids.numpy()))
+    np.testing.assert_allclose(np.asarray(got_img), img_ref, atol=ATOL,
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_txt), txt_ref, atol=ATOL,
+                               rtol=1e-3)
