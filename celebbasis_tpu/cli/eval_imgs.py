@@ -60,7 +60,13 @@ def build_scorers(clip_ckpt=None, sphere_ckpt=None, vocab=None, seed=0,
     rng = jax.random.key(seed)
     if clip_ckpt:
         from celebbasis_tpu.utils.pt_io import load_pt
-        vp, tp = convert_openai_clip(load_pt(clip_ckpt), vcfg, tcfg)
+        state = load_pt(clip_ckpt)
+        state = state.get("state_dict", state)
+        if any(str(k).startswith("vision_model.") for k in state):
+            from celebbasis_tpu.models.clip_vit import convert_hf_clip
+            vp, tp = convert_hf_clip(state, vcfg, tcfg)
+        else:
+            vp, tp = convert_openai_clip(state, vcfg, tcfg)
     else:
         print("[eval] WARNING: no CLIP checkpoint — random weights")
         vp = jax.jit(vision.init)(rng, jnp.zeros(
