@@ -119,13 +119,50 @@ def bitmask_nms(dets: np.ndarray, thresh: float) -> np.ndarray:
     return keep[:n].astype(np.int64)
 
 
+def soft_nms_numpy(dets: np.ndarray, sigma: float = 0.5, nt: float = 0.3,
+                   threshold: float = 0.001, method: int = 1) -> np.ndarray:
+    """Pure-numpy soft-NMS, mirroring the native kernel (nms.cpp::soft_nms,
+    itself the cpu_soft_nms algorithm): in-place score decay with
+    swap-to-front max selection and swap-with-last discard."""
+    dets = _as_dets(dets).copy()
+    count = len(dets)
+    i = 0
+    while i < count:
+        max_pos = i + int(np.argmax(dets[i:count, 4]))
+        dets[[i, max_pos]] = dets[[max_pos, i]]
+        bx1, by1, bx2, by2 = dets[i, :4]
+        area_i = (bx2 - bx1 + 1) * (by2 - by1 + 1)
+        j = i + 1
+        while j < count:
+            x1 = max(bx1, dets[j, 0]); y1 = max(by1, dets[j, 1])
+            x2 = min(bx2, dets[j, 2]); y2 = min(by2, dets[j, 3])
+            inter = max(0.0, x2 - x1 + 1) * max(0.0, y2 - y1 + 1)
+            area_j = ((dets[j, 2] - dets[j, 0] + 1)
+                      * (dets[j, 3] - dets[j, 1] + 1))
+            ov = inter / (area_i + area_j - inter)
+            if method == 1:
+                weight = 1.0 - ov if ov > nt else 1.0
+            elif method == 2:
+                weight = np.exp(-(ov * ov) / sigma)
+            else:
+                weight = 0.0 if ov > nt else 1.0
+            dets[j, 4] *= weight
+            if dets[j, 4] < threshold:
+                dets[[j, count - 1]] = dets[[count - 1, j]]
+                count -= 1
+            else:
+                j += 1
+        i += 1
+    return dets[:count]
+
+
 def soft_nms(dets: np.ndarray, sigma: float = 0.5, nt: float = 0.3,
              threshold: float = 0.001, method: int = 1) -> np.ndarray:
     """Returns the surviving (n', 5) boxes (cpu_soft_nms semantics)."""
     dets = _as_dets(dets).copy()
     lib = _lib()
     if lib is None:
-        raise NotImplementedError("soft_nms requires the native library")
+        return soft_nms_numpy(dets, sigma, nt, threshold, method)
     n = lib.soft_nms(dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                      len(dets), sigma, nt, threshold, method)
     return dets[:n]

@@ -120,7 +120,11 @@ def meanface_indices(meanface: np.ndarray, num_nb: int
     The derivation the reference hardcodes (functions.py:31-75): landmark i
     predicts its num_nb nearest meanface neighbors; reversing gives, per
     landmark, the (source-landmark, neighbor-slot) pairs that predict it,
-    cyclically padded to the max count.
+    cyclically padded to the max count (the reference repeats each list 11x
+    and truncates, functions.py:62-68 — equivalent for any non-empty list).
+    A landmark predicted by *no* neighbor (possible for exotic meanface
+    configs; the reference would crash) gets masked slots: ri1 = -1, which
+    ``decode_landmarks`` excludes from the merge average.
     """
     L = meanface.shape[0]
     dists = ((meanface[:, None] - meanface[None]) ** 2).sum(-1)
@@ -131,14 +135,16 @@ def meanface_indices(meanface: np.ndarray, num_nb: int
             rev[int(nb[i, j])][0].append(i)
             rev[int(nb[i, j])][1].append(j)
     max_len = max(len(rev[i][0]) for i in range(L))
-    ri1, ri2 = [], []
+    ri1 = np.full((L, max_len), -1, np.int32)
+    ri2 = np.zeros((L, max_len), np.int32)
     for i in range(L):
-        a = (rev[i][0] * (10 + 1))[:max_len]
-        b = (rev[i][1] * (10 + 1))[:max_len]
-        ri1 += a
-        ri2 += b
-    return (np.asarray(ri1, np.int32).reshape(L, max_len),
-            np.asarray(ri2, np.int32).reshape(L, max_len), max_len)
+        src, slot = rev[i]
+        if not src:
+            continue  # masked row
+        reps = -(-max_len // len(src))  # ceil: cyclic pad to max_len
+        ri1[i] = (src * reps)[:max_len]
+        ri2[i] = (slot * reps)[:max_len]
+    return ri1, ri2, max_len
 
 
 def load_meanface(path: str, num_nb: int):
@@ -177,12 +183,17 @@ def decode_landmarks(outputs, cfg: PIPNetConfig, ri1: jnp.ndarray,
     nly = (gy[..., None] + seln(nby_f)) / grid
 
     # reverse-neighbor merge: landmark i averaged with every (src, slot)
-    # prediction that points at it
+    # prediction that points at it; ri1 == -1 marks masked (padding) slots
     max_len = ri1.shape[1]
-    rx = nlx[:, ri1.reshape(-1), ri2.reshape(-1)].reshape(B, L, max_len)
-    ry = nly[:, ri1.reshape(-1), ri2.reshape(-1)].reshape(B, L, max_len)
-    mx = jnp.concatenate([lx[..., None], rx], axis=-1).mean(-1)
-    my = jnp.concatenate([ly[..., None], ry], axis=-1).mean(-1)
+    valid = (ri1 >= 0).reshape(-1)                             # (L*max_len,)
+    src = jnp.maximum(ri1.reshape(-1), 0)
+    rx = jnp.where(valid, nlx[:, src, ri2.reshape(-1)], 0.0)
+    ry = jnp.where(valid, nly[:, src, ri2.reshape(-1)], 0.0)
+    rx = rx.reshape(B, L, max_len)
+    ry = ry.reshape(B, L, max_len)
+    denom = 1.0 + valid.reshape(L, max_len).sum(-1)            # own + valid nb
+    mx = (lx + rx.sum(-1)) / denom
+    my = (ly + ry.sum(-1)) / denom
     return jnp.stack([mx, my], axis=-1)
 
 

@@ -7,9 +7,15 @@ Reference behavior (`/root/reference/ldm/modules/encoders/modules.py:472-624`):
 2. tokenize each name to (77,) and take **token-table embeddings only** (the
    ``only_embedding=True`` short-circuit — no encoder layers);
 3. scan token *columns* j=0..76; keep embeddings of non-special
-   (id < 49406) tokens that are new *within that column* (``rm_repeats``);
-   column 0 is always SOT, so kept column 0 ≈ first-name tokens, column 1 ≈
-   second-name tokens;
+   (id < 49406) tokens; column 0 is always SOT, so kept column 0 ≈
+   first-name tokens, column 1 ≈ second-name tokens.  The reference's
+   ``rm_repeats`` *token* dedup (modules.py:522-538) is an effective
+   **no-op**: ``tok in col_token_set`` tests 0-dim tensors against a set,
+   and torch tensor hashing is id-based, so membership is always False and
+   duplicate-token embeddings are all kept (verified empirically).  We match
+   that effective behavior by default so a basis built here spans the same
+   subspace as a reference-recomputed one; set ``true_dedup=True`` for the
+   behavior the reference *intended*;
 4. for the first ``num_embeds_per_token`` kept columns: PCA via SVD —
    ``x = col - mean; _, _, v = svd(x); basis = concat([mean, v[:n_components]])``
    giving (1+n_components, 768) per column (modules.py:600-610);
@@ -42,7 +48,8 @@ from celebbasis_tpu.text.tokenizer import CLIPTokenizer
 class BasisConfig:
     n_components: int = 512
     num_embeds_per_token: int = 2
-    rm_repeats: bool = True
+    rm_repeats: bool = True       # name-level dedup (strings — real in the ref)
+    true_dedup: bool = False      # token-level dedup (a no-op in the ref)
     use_svd: bool = True
     use_flatten: bool = False
     use_sample_reduce: bool = False
@@ -69,8 +76,14 @@ def _canonicalize_signs(v: np.ndarray) -> np.ndarray:
 
 def collect_column_embeddings(all_tokens: np.ndarray, all_embeds: np.ndarray,
                               cfg: BasisConfig) -> List[np.ndarray]:
-    """Per-column (or flattened) unique-token embedding lists (modules.py:517-551)."""
+    """Per-column (or flattened) non-special embedding lists (modules.py:517-551).
+
+    Token-level dedup only runs with ``cfg.true_dedup`` — the reference's
+    rm_repeats membership test is an effective no-op (see module docstring),
+    so parity means keeping duplicate-token embeddings.
+    """
     M, L = all_tokens.shape
+    dedup = cfg.rm_repeats and cfg.true_dedup
     cols: List[np.ndarray] = []
     if cfg.use_flatten:
         seen = set()
@@ -80,7 +93,7 @@ def collect_column_embeddings(all_tokens: np.ndarray, all_embeds: np.ndarray,
                 tok = int(all_tokens[i, j])
                 if tok >= cfg.special_id_threshold:
                     continue
-                if cfg.rm_repeats and tok in seen:
+                if dedup and tok in seen:
                     continue
                 flat.append(all_embeds[i, j])
                 seen.add(tok)
@@ -92,7 +105,7 @@ def collect_column_embeddings(all_tokens: np.ndarray, all_embeds: np.ndarray,
             tok = int(all_tokens[i, j])
             if tok >= cfg.special_id_threshold:
                 continue
-            if cfg.rm_repeats and tok in col_seen:
+            if dedup and tok in col_seen:
                 continue
             col.append(all_embeds[i, j])
             col_seen.add(tok)

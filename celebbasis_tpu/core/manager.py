@@ -173,12 +173,15 @@ def test_inject(cfg: ManagerConfig, state: ManagerState, basis: jax.Array,
 # -- auxiliary losses (embedding_manager.py:492-529) ------------------------
 
 def coefficient_reg_loss(loss_type: str, coeff: jax.Array) -> jax.Array:
-    """l1_reg / l2_reg over flattened coefficients, weight 1e-6."""
-    flat = coeff.reshape(coeff.shape[0], -1)
+    """l1_reg / l2_reg, weight 1e-6, over the **es axis** of
+    (N', es, h, inner) coefficients — ``torch.norm(cef, dim=1, p=·).mean()``
+    semantics (embedding_manager.py:514-521, cef = cat of id-chunks along
+    batch)."""
+    assert coeff.ndim == 4, f"expected (N', es, h, inner), got {coeff.shape}"
     if loss_type == "l1_reg":
-        return jnp.abs(flat).sum(axis=1).mean() * 1e-6
+        return jnp.abs(coeff).sum(axis=1).mean() * 1e-6
     if loss_type == "l2_reg":
-        return jnp.sqrt((flat ** 2).sum(axis=1) + 1e-12).mean() * 1e-6
+        return jnp.sqrt((coeff ** 2).sum(axis=1) + 1e-12).mean() * 1e-6
     return jnp.zeros(())
 
 

@@ -46,7 +46,9 @@ def init_ti_params(cfg: TIConfig, tokenizer, token_table: np.ndarray,
 
 
 def placeholder_token_ids(cfg: TIConfig, tokenizer) -> Tuple[int, ...]:
-    return tuple(tokenizer.tokenize(s)[0] for s in cfg.placeholder_strings)
+    from celebbasis_tpu.text.tokenizer import token_for_string
+    return tuple(token_for_string(tokenizer, s)
+                 for s in cfg.placeholder_strings)
 
 
 def ti_inject(cfg: TIConfig, ti_params: jax.Array, ph_ids: jax.Array,

@@ -77,10 +77,9 @@ class CelebBasisPipeline:
         self.clip = CLIPTextEncoder(cfg.clip, cfg.dtype)
         self.schedule: NoiseSchedule = make_schedule(
             "linear", cfg.timesteps, cfg.linear_start, cfg.linear_end)
-        ph_ids = []
-        for s in cfg.placeholder_strings:
-            ids = tokenizer.tokenize(s)
-            ph_ids.append(ids[0])  # reference takes the word's first token
+        from celebbasis_tpu.text.tokenizer import token_for_string
+        ph_ids = [token_for_string(tokenizer, s)
+                  for s in cfg.placeholder_strings]
         self.manager_cfg = mgr.ManagerConfig(
             placeholder_token_ids=tuple(ph_ids),
             num_es=cfg.basis.num_embeds_per_token,

@@ -104,6 +104,7 @@ class CLIPTokenizer:
         self.max_length = max_length
         self.sot_id = self.encoder[SOT]
         self.eot_id = self.encoder[EOT]
+        self.is_synthetic = False  # set by CLIPTokenizer.synthetic()
         self._cache: Dict[str, List[str]] = {SOT: [SOT], EOT: [EOT]}
 
     # -- constructors -----------------------------------------------------
@@ -150,7 +151,9 @@ class CLIPTokenizer:
     @classmethod
     def synthetic(cls, size: int = 49408, max_length: int = 77) -> "CLIPTokenizer":
         sv = SyntheticVocab(size)
-        return cls(sv.encoder, sv.bpe_ranks, max_length)
+        tok = cls(sv.encoder, sv.bpe_ranks, max_length)
+        tok.is_synthetic = True
+        return tok
 
     # -- BPE core ---------------------------------------------------------
     def _bpe(self, token: str) -> List[str]:
@@ -233,6 +236,33 @@ class CLIPTokenizer:
     @property
     def vocab_size(self) -> int:
         return len(self.encoder)
+
+
+def token_for_string(tokenizer: CLIPTokenizer, s: str) -> int:
+    """The single BPE token id of a placeholder word.
+
+    The reference's ``get_clip_token_for_string`` asserts the word maps to
+    exactly one token (embedding_manager.py:13-21); a multi-token placeholder
+    would make injection match a *sub*-token anywhere it appears (e.g. the
+    's' inside 'person'), silently corrupting conditioning.  Under the
+    synthetic-vocab fallback (where merges are absent and most words are
+    multi-token) we warn loudly instead of failing, since it only exists for
+    weightless dev/test runs.
+    """
+    ids = tokenizer.tokenize(s)
+    if len(ids) != 1:
+        if getattr(tokenizer, "is_synthetic", False):
+            import warnings
+            warnings.warn(
+                f"placeholder {s!r} is {len(ids)} tokens under the synthetic "
+                f"vocab; using the first — injection may match sub-tokens in "
+                f"other words. Load the real CLIP vocab for correct behavior.")
+        else:
+            raise ValueError(
+                f"placeholder string {s!r} maps to {len(ids)} tokens; "
+                f"placeholders must be single-token words "
+                f"(reference get_clip_token_for_string contract)")
+    return ids[0]
 
 
 def default_tokenizer(vocab_path: str | None = None) -> CLIPTokenizer:

@@ -21,7 +21,7 @@ TPU-native design:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,8 +55,8 @@ def merge_meta_params(trainable: Dict, frozen: Dict) -> Dict:
 
 
 def make_optimizer(lr: float = 1e-2,
-                   model_lr: Optional[float] = None
-                   ) -> optax.GradientTransformation:
+                   model_lr: Optional[float] = None,
+                   accumulate: int = 1) -> optax.GradientTransformation:
     """AdamW, reference LR recipe: base 5e-3 scaled by batch (=1e-2 at bs2)
     (main_id_embed.py:778-782, ddpm.py:1454).
 
@@ -64,12 +64,22 @@ def make_optimizer(lr: float = 1e-2,
     rate (the reference's ``unfreeze_model``/``model_lr`` path,
     ddpm.py:1442-1466): the trainable pytree is then the dict
     ``{"meta": ..., "unet": ...}`` and rates are routed by top-level key.
+
+    ``accumulate > 1`` wraps the optimizer in ``optax.MultiSteps``: gradients
+    are running-mean accumulated over ``accumulate`` micro-batches and one
+    AdamW update is applied on the boundary — the Lightning
+    ``accumulate_grad_batches`` semantics the reference's LR scaling assumes
+    (main_id_embed.py:778-782).
     """
     if model_lr is None:
-        return optax.adamw(lr)
-    return optax.multi_transform(
-        {"meta": optax.adamw(lr), "unet": optax.adamw(model_lr)},
-        param_labels=lambda params: {k: k for k in params})
+        opt = optax.adamw(lr)
+    else:
+        opt = optax.multi_transform(
+            {"meta": optax.adamw(lr), "unet": optax.adamw(model_lr)},
+            param_labels=lambda params: {k: k for k in params})
+    if accumulate > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulate)
+    return opt
 
 
 def make_train_step(pipeline, meta_net: MetaIdNet,
@@ -119,8 +129,8 @@ def make_train_step(pipeline, meta_net: MetaIdNet,
         # 4. UNet eps prediction + loss (frozen unless train_unet)
         eps_pred = pipeline.unet.apply(unet_params, z_t, t, context)
         loss, logs = ddpm.eps_mse_loss(eps_pred, noise)
-        reg = mgr.coefficient_reg_loss(loss_type,
-                                       pred_coeff.reshape(-1, pred_coeff.shape[-1]))
+        reg = mgr.coefficient_reg_loss(
+            loss_type, pred_coeff.reshape((-1,) + pred_coeff.shape[2:]))
         loss = loss + reg
         logs["loss_reg"] = reg
         return loss, (new_mstate, logs)
@@ -189,7 +199,7 @@ def make_cached_train_step(pipeline, meta_net: MetaIdNet,
         eps_pred = pipeline.unet.apply(frozen["unet"], z_t, t, context)
         loss, logs = ddpm.eps_mse_loss(eps_pred, noise)
         reg = mgr.coefficient_reg_loss(
-            loss_type, pred_coeff.reshape(-1, pred_coeff.shape[-1]))
+            loss_type, pred_coeff.reshape((-1,) + pred_coeff.shape[2:]))
         logs["loss_reg"] = reg
         return loss + reg, (new_mstate, logs)
 

@@ -94,7 +94,8 @@ class Trainer:
 
         lr = effective_lr(cfg)
         self.optimizer = tstep.make_optimizer(
-            lr, cfg.model_lr if cfg.unfreeze_model else None)
+            lr, cfg.model_lr if cfg.unfreeze_model else None,
+            accumulate=cfg.accumulate)
         if cfg.cache_latents > 0:
             assert not cfg.unfreeze_model, \
                 "cache_latents requires the frozen-UNet path"
@@ -119,7 +120,9 @@ class Trainer:
 
     # -- checkpointing ("melk") --------------------------------------------
     def save(self, state: tstep.TrainState, tag: Optional[str] = None):
-        step = int(state.step)
+        # state.step counts micro-batches; checkpoints are named by optimizer
+        # steps like the reference's global_step (ddpm.py:1519-1528)
+        step = int(state.step) // max(self.cfg.accumulate, 1)
         name = tag or f"embeddings_gs-{step}.pt"
         path = os.path.join(self.run_dir, "checkpoints", name)
         mgr.save_checkpoint(self.pipeline.manager_cfg, state.manager_state,
@@ -187,6 +190,8 @@ class Trainer:
             else:
                 yield from self.loader
 
+        accum = max(cfg.accumulate, 1)
+        micro = step * accum
         try:
             while step < cfg.max_steps and not self._interrupted:
                 for batch in batches():
@@ -208,8 +213,13 @@ class Trainer:
                     state, logs = self.jit_step(current["state"], self.frozen,
                                                 self.basis, dev_batch)
                     current["state"] = state
-                    # host-side counter: pulling state.step would force a
-                    # device sync every iteration and break async dispatch
+                    # host-side counters: pulling state.step would force a
+                    # device sync every iteration and break async dispatch.
+                    # `step` counts optimizer steps (Lightning global_step
+                    # semantics under accumulate_grad_batches).
+                    micro += 1
+                    if micro % accum != 0:
+                        continue
                     step += 1
                     if step % cfg.log_every == 0 or step == 1:
                         loss = float(logs["loss"])

@@ -105,6 +105,22 @@ class _FakeClass:
         raise TypeError(f"cannot instantiate {self.module}.{self.name}")
 
 
+# Globals a real checkpoint may legitimately reference. Everything else is
+# rejected — unlike torch.load without weights_only, this loader never
+# imports arbitrary modules from untrusted pickles.
+_SAFE_GLOBALS = {
+    ("collections", "OrderedDict"),
+    ("collections", "defaultdict"),
+    ("builtins", "dict"), ("builtins", "list"), ("builtins", "tuple"),
+    ("builtins", "set"), ("builtins", "frozenset"), ("builtins", "slice"),
+    ("builtins", "complex"), ("builtins", "bytearray"),
+    ("numpy", "ndarray"), ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("_codecs", "encode"),
+}
+
+
 class _Unpickler(pickle.Unpickler):
     def __init__(self, file, loader):
         super().__init__(file, encoding="latin1")
@@ -118,11 +134,13 @@ class _Unpickler(pickle.Unpickler):
                 storage, offset, size, stride)
         if name == "_rebuild_from_type_v2":
             return _rebuild_from_type_v2
+        if (module, name) in _SAFE_GLOBALS:
+            return super().find_class(module, name)
         if module.startswith("torch") or module.startswith("numpy.core"):
-            if module == "collections":  # pragma: no cover
-                return super().find_class(module, name)
             return _FakeClass(module, name)
-        return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to load global {module}.{name} from checkpoint "
+            f"(not in the pt_io whitelist)")
 
     def persistent_load(self, pid):
         return self._loader(pid)
@@ -165,14 +183,20 @@ def _load_zip(path: str) -> Any:
             return _Unpickler(io.BufferedReader(pf), loader).load()
 
 
+def _restricted_load(f) -> Any:
+    """Header pickles (magic/protocol/sys_info) via the whitelisting
+    unpickler — never plain pickle.load on untrusted bytes."""
+    return _Unpickler(f, lambda pid: None).load()
+
+
 def _load_legacy(path: str) -> Any:
     """torch<1.6 format: magic pickle, protocol pickle, sys_info, payload, keys."""
     with open(path, "rb") as f:
-        magic = pickle.load(f)
+        magic = _restricted_load(f)
         if magic != 0x1950A86A20F9469CFC6C:
             raise ValueError("not a legacy torch file")
-        pickle.load(f)  # protocol version
-        pickle.load(f)  # sys info
+        _restricted_load(f)  # protocol version
+        _restricted_load(f)  # sys info
         deserialized: Dict[str, Tuple[str, int]] = {}
         refs: Dict[str, _StorageRef] = {}
 
@@ -187,7 +211,7 @@ def _load_legacy(path: str) -> Any:
             raise ValueError(f"unknown pid {pid!r}")
 
         result = _Unpickler(f, loader).load()
-        keys = pickle.load(f)
+        keys = _restricted_load(f)
         for key in keys:
             dtype_name, numel = deserialized[key]
             itemsize = _TORCH_TO_NP[dtype_name].itemsize
