@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--H", type=int, default=512)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--vocab", type=str, default=None)
+    p.add_argument("--use_pos_temp", action="store_true",
+                   help="wrap prompts in the positive template (the "
+                        "reference ships this line commented out, "
+                        "gen_imgs.py:86; default matches: raw prompt)")
     args = p.parse_args(argv)
 
     spec = load_run_spec(args.config)
@@ -44,7 +48,9 @@ def main(argv=None):
                    seed=args.seed)
     with open(args.from_file) as f:
         prompts = [l.strip() for l in f if l.strip()]
-    pos_t, _neg_t = get_pos_neg_temps(os.path.basename(args.from_file))
+    # the negative template is the unconditional prompt under CFG
+    # (reference gen_imgs.py:92-95); the positive template is opt-in
+    pos_t, neg_t = get_pos_neg_temps(os.path.basename(args.from_file))
 
     fn = asm.pipeline.make_txt2img_fn(num_steps=args.ddim_steps,
                                       guidance_scale=args.scale,
@@ -59,14 +65,14 @@ def main(argv=None):
         slug = "".join(c if c.isalnum() else "-" for c in prompt[:50])
         outdir = os.path.join(args.outdir, f"{pi:03d}_{slug}")
         os.makedirs(outdir, exist_ok=True)
-        text = pos_t.format(prompt)
+        text = pos_t.format(prompt) if args.use_pos_temp else prompt
         for id_idx in args.ids:
             pair = (id_idx + args.pair_shift) % n_ids
             name0 = os.path.join(outdir, f"{pi:05d}_id{id_idx}_#0.jpg")
             if os.path.exists(name0):
                 continue  # resumable
             tokens = jnp.asarray(asm.tokenizer([text] * B))
-            uncond = jnp.asarray(asm.tokenizer([""] * B))
+            uncond = jnp.asarray(asm.tokenizer([neg_t] * B))
             ids_row = ([id_idx, pair] + [0] * k)[:k]
             ids = jnp.asarray(np.tile(ids_row, (B, 1)).astype(np.int32))
             num_ids = jnp.full((B,), 2 if two_person else 1, jnp.int32)

@@ -43,6 +43,22 @@ def save_images(arr: np.ndarray, outdir: str, start_idx: int, grid: bool):
     return paths
 
 
+def load_face_crops(paths, size: int) -> np.ndarray:
+    """Aligned face photos -> (k, size, size, 3) float32 in [-1, 1].
+
+    The reference's test_mode='image' preprocessing (stable_txt2img.py:297-308:
+    Resize(512) + Normalize(0.5, 0.5)); crops are expected pre-aligned (the
+    W0 align CLI produces them — `python -m celebbasis_tpu.cli.align`).
+    """
+    from PIL import Image
+    out = []
+    for p in paths:
+        img = Image.open(p).convert("RGB").resize((size, size),
+                                                  Image.BILINEAR)
+        out.append(np.asarray(img, np.float32) / 127.5 - 1.0)
+    return np.stack(out)
+
+
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--prompt", type=str, default=None)
@@ -69,6 +85,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--ids", type=int, nargs="+", default=[0, 1],
                    help="identity indices bound to placeholders sks, ks, ...")
+    p.add_argument("--faces", type=str, nargs="+", default=None,
+                   help="1-2 aligned face photos: live-face conditioning "
+                        "(test_mode='image') — identity embeddings come from "
+                        "a fresh MetaIdNet forward instead of saved "
+                        "coefficients (stable_txt2img.py:271-318)")
+    p.add_argument("--fr_ckpt", type=str, default=None,
+                   help="CosFace IResNet-100 backbone.pth for --faces")
     p.add_argument("--no-grid", action="store_true")
     p.add_argument("--mesh", type=int, default=None,
                    help="shard the sample batch over N devices (data-parallel"
@@ -81,6 +104,7 @@ def main(argv=None):
     assert args.H == args.W, "square outputs only"
     spec = load_run_spec(args.config)
     asm = assemble(spec, sd_ckpt=args.ckpt, vocab_path=args.vocab,
+                   fr_ckpt=args.fr_ckpt,
                    embedding_ckpt=args.embedding_path, image_size=args.H,
                    seed=args.seed)
 
@@ -92,7 +116,21 @@ def main(argv=None):
 
     pipe = asm.pipeline
     sampler = "plms" if args.plms else "ddim"
-    if args.ti_embedding:
+    faces_arr = None
+    if args.faces:
+        faces_arr = load_face_crops(args.faces, args.H)  # (k, H, H, 3)
+        faces_fn = pipe.make_txt2img_faces_fn(
+            asm.meta_net, num_steps=args.ddim_steps,
+            guidance_scale=args.scale, eta=args.ddim_eta, image_size=args.H,
+            sampler=sampler)
+
+        def fn(params, _state, basis, tokens, uncond, ids, num_ids, rng):
+            B = tokens.shape[0]
+            faces = jnp.broadcast_to(jnp.asarray(faces_arr)[None],
+                                     (B,) + faces_arr.shape)
+            return faces_fn(params, asm.meta_params, basis, tokens, uncond,
+                            faces, ids, num_ids, rng)
+    elif args.ti_embedding:
         from celebbasis_tpu.core import textual_inversion as ti
         vectors = ti.load_ti_checkpoint(args.ti_embedding)
         names = sorted(vectors)
@@ -115,8 +153,12 @@ def main(argv=None):
             eta=args.ddim_eta, image_size=args.H, sampler=sampler)
 
     B = args.n_samples
-    k = len(asm.pipeline.manager_cfg.placeholder_token_ids)
+    # in faces mode the id axis follows the supplied photos (one face slot
+    # per pseudo-word); otherwise it follows the placeholder list
+    k = (len(args.faces) if args.faces
+         else len(asm.pipeline.manager_cfg.placeholder_token_ids))
     ids_row = (list(args.ids) + [0] * k)[:k]
+    n_active = len(args.faces) if args.faces else len(args.ids)
     rng = jax.random.key(args.seed)
     mesh = None
     if args.mesh:
@@ -130,7 +172,7 @@ def main(argv=None):
         tokens = jnp.asarray(asm.tokenizer([prompt] * B))
         uncond = jnp.asarray(asm.tokenizer([""] * B))
         ids = jnp.asarray(np.tile(ids_row, (B, 1)).astype(np.int32))
-        num_ids = jnp.full((B,), len(args.ids), jnp.int32)
+        num_ids = jnp.full((B,), n_active, jnp.int32)
         if mesh is not None:
             from celebbasis_tpu.parallel import mesh as pmesh
             tokens, uncond, ids, num_ids = (

@@ -164,6 +164,50 @@ class CelebBasisPipeline:
 
         return jax.jit(fn)
 
+    def make_txt2img_faces_fn(self, meta_net, num_steps: int = 50,
+                              guidance_scale: float = 10.0, eta: float = 0.0,
+                              image_size: int = 512, sampler: str = "ddim"):
+        """Live-face personalization at inference (test_mode='image'):
+        identity embeddings come from a fresh MetaIdNet forward on aligned
+        face crops instead of saved coefficients — the reference's one-shot
+        "insert anybody without training artifacts" mode
+        (scripts/stable_txt2img.py:271-318, embedding_manager.py:452-481).
+
+        Returns jit(fn)(params, meta_params, basis, tokens, uncond_tokens,
+        faces, ids, num_ids, rng) -> images; faces (B, k, Hf, Wf, 3) aligned
+        crops in [-1, 1].
+        """
+        import dataclasses
+
+        from celebbasis_tpu.core.meta_net import MetaIdNet
+
+        ddim = make_ddim_schedule(self.schedule, num_steps, eta)
+        lat = image_size // self.latent_factor
+        sample_fn = ddim_sample if sampler == "ddim" else plms_sample
+        m_cfg = dataclasses.replace(self.manager_cfg, test_mode="image")
+
+        def fn(params, meta_params, basis, tokens, uncond_tokens, faces,
+               ids, num_ids, rng):
+            B = tokens.shape[0]
+            pred_z, _coeff = meta_net.apply(meta_params, faces, ids, basis,
+                                            method=MetaIdNet.multi_faces)
+            embeds = self.clip.apply(params["clip"], tokens,
+                                     method=CLIPTextEncoder.token_embed)
+            embeds = mgr.test_inject(m_cfg, None, basis, tokens, embeds,
+                                     ids, num_ids, pred_z=pred_z)
+            cond = self.clip.apply(params["clip"], embeds,
+                                   method=CLIPTextEncoder.encode)
+            uncond = self.conditioning(params, uncond_tokens)
+            x = sample_fn(self.eps_model(params), ddim, rng=rng,
+                          shape=(B, lat, lat, 4), cond=cond, uncond=uncond,
+                          cfg=SamplerConfig(guidance_scale=guidance_scale,
+                                            eta=eta))
+            img = self.vae.apply(params["vae"], x / self.cfg.scale_factor,
+                                 method=AutoencoderKL.decode)
+            return jnp.clip(img, -1.0, 1.0)
+
+        return jax.jit(fn)
+
     def make_txt2img_ti_fn(self, ti_cfg, ph_ids, num_steps: int = 50,
                            guidance_scale: float = 7.5, eta: float = 0.0,
                            image_size: int = 512, sampler: str = "ddim"):

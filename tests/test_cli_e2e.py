@@ -78,6 +78,74 @@ def test_train_txt2img_extract(workdir):
     np.testing.assert_allclose(reconstruct(coeff, basis), emb, atol=1e-5)
 
 
+def test_txt2img_live_faces(workdir):
+    """--faces: one-shot live-face conditioning (test_mode='image') — no
+    trained coefficients needed (stable_txt2img.py:271-318)."""
+    from celebbasis_tpu.cli import txt2img
+
+    cfg = os.path.join(REPO, "configs", "tiny.yaml")
+    face_paths = sorted(glob.glob(str(workdir / "data" / "*.png")))[:2]
+    outdir = str(workdir / "face_samples")
+    txt2img.main([
+        "--config", cfg,
+        "--prompt", "a photo of sks person and ks person",
+        "--outdir", outdir, "--faces", face_paths[0], face_paths[1],
+        "--ddim_steps", "2", "--n_samples", "2", "--H", "32", "--W", "32",
+    ])
+    imgs = glob.glob(os.path.join(outdir, "*", "0000*.jpg"))
+    assert len(imgs) >= 2
+    assert np.asarray(Image.open(imgs[0])).shape == (32, 32, 3)
+
+
+def test_faces_injection_equals_live_meta_forward(workdir):
+    """The faces path must inject exactly the rows of a live MetaIdNet
+    forward (embedding_manager.py:452-481 image branch)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from celebbasis_tpu.core import manager as mgr
+    from celebbasis_tpu.core.meta_net import MetaIdNet
+    from celebbasis_tpu.loader import assemble
+    from celebbasis_tpu.models.clip_text import CLIPTextEncoder
+    from celebbasis_tpu.utils.config import load_run_spec
+
+    cfg = os.path.join(REPO, "configs", "tiny.yaml")
+    spec = load_run_spec([cfg])
+    asm = assemble(spec, image_size=32, dtype=jnp.float32)
+    B, k, fs = 2, 2, 32
+    rng = np.random.default_rng(1)
+    faces = jnp.asarray(rng.uniform(-1, 1, (B, k, fs, fs, 3)), jnp.float32)
+    ids = jnp.zeros((B, k), jnp.int32)
+    num_ids = jnp.full((B,), 2, jnp.int32)
+    # hand-built token row: placeholders at known positions (synthetic-vocab
+    # tokenization of real words is multi-token, so don't rely on it here)
+    ph = asm.pipeline.manager_cfg.placeholder_token_ids
+    L = asm.pipeline.cfg.clip.max_length
+    row = np.full((L,), asm.tokenizer.eot_id, np.int32)
+    row[0] = asm.tokenizer.sot_id
+    row[1], row[2], row[3], row[4], row[5] = 10, ph[0], 11, ph[1], 12
+    tokens = jnp.asarray(np.tile(row, (B, 1)))
+
+    pred_z, _ = asm.meta_net.apply(asm.meta_params, faces, ids, asm.basis,
+                                   method=MetaIdNet.multi_faces)
+    m_cfg = dataclasses.replace(asm.pipeline.manager_cfg, test_mode="image")
+    embeds = asm.pipeline.clip.apply(asm.params["clip"], tokens,
+                                     method=CLIPTextEncoder.token_embed)
+    new_embeds = mgr.test_inject(m_cfg, None, asm.basis, tokens, embeds,
+                                 ids, num_ids, pred_z=pred_z)
+    # check the injected rows at the known placeholder positions
+    reps = m_cfg.reps
+    out = np.asarray(new_embeds[0])
+    zs = np.asarray(pred_z[0])          # (k, reps, D)
+    pos0, pos1 = 2, 4
+    np.testing.assert_allclose(out[pos0:pos0 + reps], zs[0], atol=1e-5)
+    # second placeholder shifts right by (reps-1) after the first expansion
+    shifted = pos1 + (reps - 1)
+    np.testing.assert_allclose(out[shifted:shifted + reps], zs[1], atol=1e-5)
+
+
 def test_train_cached_latents(workdir):
     """--cache_latents CLI path: trainer precomputes frozen features."""
     from celebbasis_tpu.cli import train

@@ -9,13 +9,32 @@ from celebbasis_tpu.ops.warp import (INSIGHTFACE_TRANS_MATRIX,
 
 
 def test_prompt_template_selection():
+    import pytest
     pos, neg = get_pos_neg_temps("exp_action_two.txt")
-    assert "two people" in pos
+    assert "two persons" in pos
     pos2, _ = get_pos_neg_temps("exp_action_celeb.txt")
-    assert "photorealistic" in pos2
-    pos3, _ = get_pos_neg_temps("unknown.txt")
-    assert "portrait" in pos3
+    assert pos2 == pos  # 'celeb' is an action_two key
+    pos3, _ = get_pos_neg_temps("exp_pot_sample.txt")
+    assert "a photo of {}" in pos3
     assert "{}" in pos and "{}" in pos2 and "{}" in pos3
+    with pytest.raises(ValueError):
+        get_pos_neg_temps("unknown.txt")
+
+
+def test_prompt_templates_verbatim_vs_reference():
+    """Every (key, pos, neg) triple must equal the reference's exact strings
+    (evaluation/prompt_templates.py:1-105) — metric parity depends on it."""
+    import importlib.util
+    import sys
+    spec = importlib.util.spec_from_file_location(
+        "ref_prompt_templates",
+        "/root/reference/evaluation/prompt_templates.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    for key in ("pot", "style", "example", "single", "tmp", "two", "celeb"):
+        ours = get_pos_neg_temps(key)
+        theirs = ref.get_pos_neg_temps(key)
+        assert ours == theirs, key
 
 
 def test_fused_warp_close_to_exact():
