@@ -99,6 +99,11 @@ def main(argv=None):
     p.add_argument("--sphere_ckpt", type=str, default=None)
     p.add_argument("--vocab", type=str, default=None)
     p.add_argument("--fid", action="store_true")
+    p.add_argument("--inception_ckpt", type=str, default=None,
+                   help="InceptionV3 weights (pytorch-fid pt_inception or "
+                        "torchvision inception_v3 .pth): compute the "
+                        "canonical Inception-pool3 FID (torch-fidelity "
+                        "contract); without it --fid falls back to CLIP-FID")
     p.add_argument("--tiny", action="store_true",
                    help="toy-size scorers (functional verification)")
     p.add_argument("--out", type=str, default=None)
@@ -113,8 +118,15 @@ def main(argv=None):
     if args.fid:
         flat = os.path.join(args.gen_root, "_flat_for_fid")
         copy_together(args.gen_root, flat)
-        scorer = FIDScorer(clip_feature_fn(clip_eval))
-        scores["clip_fid"] = scorer.fid(args.src_folder, flat)
+        if args.inception_ckpt:
+            from celebbasis_tpu.eval.inception import load_inception
+            feat_fn, _ = load_inception(args.inception_ckpt)
+            scores["fid"] = FIDScorer(feat_fn).fid(args.src_folder, flat)
+        else:
+            print("[eval] no --inception_ckpt: reporting CLIP-FID "
+                  "(not comparable to Inception-FID numbers)")
+            scorer = FIDScorer(clip_feature_fn(clip_eval))
+            scores["clip_fid"] = scorer.fid(args.src_folder, flat)
 
     print(json.dumps(scores, indent=2))
     out = args.out or os.path.join(args.gen_root, "scores.json")

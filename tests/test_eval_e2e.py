@@ -21,7 +21,7 @@ def workdir(tmp_path_factory):
     for i in range(2):
         Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
                         ).save(src / f"00000_id{i}_#0.jpg")
-    prompts = d / "prompts.txt"
+    prompts = d / "prompts_single.txt"  # name keys the action_single templates
     prompts.write_text("a photo of a sks person\n")
     return d
 
@@ -50,7 +50,7 @@ def test_gen_then_eval(workdir):
     gen_root = str(workdir / "gen")
     gen_imgs.main([
         "--config", CFG, "--embedding_path", ckpt,
-        "--from-file", str(workdir / "prompts.txt"),
+        "--from-file", str(workdir / "prompts_single.txt"),
         "--outdir", gen_root, "--ids", "0", "1", "--n_samples", "2",
         "--ddim_steps", "3", "--H", "32",
     ])
