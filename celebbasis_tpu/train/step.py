@@ -82,18 +82,15 @@ def make_optimizer(lr: float = 1e-2,
     return opt
 
 
-def make_train_step(pipeline, meta_net: MetaIdNet,
-                    optimizer: optax.GradientTransformation,
-                    loss_type: str = "none", train_unet: bool = False):
-    """Returns jit-able ``step_fn(state, frozen_params, basis, batch)``.
+def make_loss_fn(pipeline, meta_net: MetaIdNet, loss_type: str = "none",
+                 train_unet: bool = False):
+    """The full personalization loss as one pure function
+    ``loss_fn(trainable, frozen, manager_state, basis, batch, rng)`` —
+    shared by the train step (grad) and the eval step (value only).
 
     batch dict: image (B,H,W,3) in [-1,1]; tokens (B,77) int32;
     faces (B,k,Hf,Wf,3); ids (B,k) int32; num_ids (B,) int32.
-    frozen_params: {"unet","vae","clip","meta_frozen"}.
-
-    With ``train_unet`` (reference ``unfreeze_model``), the trainable pytree
-    is ``{"meta": <mlp>, "unet": <unet params>}`` and the UNet receives
-    gradients too; otherwise it is the MLP subtree as before.
+    frozen: {"unet","vae","clip","meta_frozen"}.
     """
     sched = ddpm.ScheduleArrays.from_schedule(pipeline.schedule)
     m_cfg = pipeline.manager_cfg
@@ -135,6 +132,10 @@ def make_train_step(pipeline, meta_net: MetaIdNet,
         logs["loss_reg"] = reg
         return loss, (new_mstate, logs)
 
+    return loss_fn
+
+
+def _step_from_loss(loss_fn, optimizer):
     def step_fn(state: TrainState, frozen, basis, batch):
         rng, step_rng = jax.random.split(state.rng)
         grads, (new_mstate, logs) = jax.grad(loss_fn, has_aux=True)(
@@ -149,16 +150,50 @@ def make_train_step(pipeline, meta_net: MetaIdNet,
     return step_fn
 
 
+def make_train_step(pipeline, meta_net: MetaIdNet,
+                    optimizer: optax.GradientTransformation,
+                    loss_type: str = "none", train_unet: bool = False):
+    """Returns jit-able ``step_fn(state, frozen_params, basis, batch)``.
+
+    With ``train_unet`` (reference ``unfreeze_model``), the trainable pytree
+    is ``{"meta": <mlp>, "unet": <unet params>}`` and the UNet receives
+    gradients too; otherwise it is the MLP subtree as before.
+    """
+    return _step_from_loss(
+        make_loss_fn(pipeline, meta_net, loss_type, train_unet), optimizer)
+
+
+def make_eval_step(pipeline, meta_net: MetaIdNet, loss_type: str = "none",
+                   train_unet: bool = False, cached: bool = False):
+    """Loss-only step for validation (reference Lightning val loop,
+    ddpm.py:372-379): no gradients, no optimizer, the momentum dictionaries
+    are NOT advanced, and nothing is donated — the trainer jits this once and
+    reuses it without copying the (potentially large) train state.
+
+    Returns ``eval_fn(state, frozen, basis, batch, rng) -> logs``.
+    """
+    loss_fn = (make_cached_loss_fn if cached else make_loss_fn)(
+        pipeline, meta_net, loss_type, **(
+            {} if cached else {"train_unet": train_unet}))
+
+    def eval_fn(state: TrainState, frozen, basis, batch, rng):
+        loss, (_, logs) = loss_fn(state.trainable, frozen,
+                                  state.manager_state, basis, batch, rng)
+        logs["loss"] = loss
+        return logs
+
+    return eval_fn
+
+
 def init_train_state(rng: jax.Array, trainable, optimizer,
                      manager_state: mgr.ManagerState) -> TrainState:
     return TrainState(jnp.zeros((), jnp.int32), trainable,
                       optimizer.init(trainable), manager_state, rng)
 
 
-def make_cached_train_step(pipeline, meta_net: MetaIdNet,
-                           optimizer: optax.GradientTransformation,
-                           loss_type: str = "none"):
-    """Fast-personalization step over precomputed frozen features.
+def make_cached_loss_fn(pipeline, meta_net: MetaIdNet,
+                        loss_type: str = "none"):
+    """Loss over precomputed frozen features (fast-personalization mode).
 
     Exact-semantics optimization: the VAE posterior (mean, logvar) and the
     frozen FR-net features are deterministic functions of the augmented
@@ -203,18 +238,16 @@ def make_cached_train_step(pipeline, meta_net: MetaIdNet,
         logs["loss_reg"] = reg
         return loss + reg, (new_mstate, logs)
 
-    def step_fn(state: TrainState, frozen, basis, batch):
-        rng, step_rng = jax.random.split(state.rng)
-        grads, (new_mstate, logs) = jax.grad(loss_fn, has_aux=True)(
-            state.trainable, frozen, state.manager_state, basis, batch,
-            step_rng)
-        updates, new_opt = optimizer.update(grads, state.opt_state,
-                                            state.trainable)
-        new_trainable = optax.apply_updates(state.trainable, updates)
-        return TrainState(state.step + 1, new_trainable, new_opt, new_mstate,
-                          rng), logs
+    return loss_fn
 
-    return step_fn
+
+def make_cached_train_step(pipeline, meta_net: MetaIdNet,
+                           optimizer: optax.GradientTransformation,
+                           loss_type: str = "none"):
+    """Fast-personalization step over precomputed frozen features
+    (see ``make_cached_loss_fn``)."""
+    return _step_from_loss(make_cached_loss_fn(pipeline, meta_net, loss_type),
+                           optimizer)
 
 
 def precompute_cache(pipeline, meta_net: MetaIdNet, meta_params, vae_params,

@@ -108,6 +108,13 @@ class Trainer:
                                             loss_type=cfg.loss_type,
                                             train_unet=cfg.unfreeze_model)
         self.jit_step = jax.jit(step_fn, donate_argnums=(0,))
+        # loss-only step for validation: nothing donated, dictionaries not
+        # advanced — no state copy per val batch.  With cache_latents and no
+        # separate val loader, validation runs over the cached batches.
+        self._eval_cached = cfg.cache_latents > 0 and val_loader is None
+        self.jit_eval = jax.jit(tstep.make_eval_step(
+            pipeline, meta_net, loss_type=cfg.loss_type,
+            train_unet=cfg.unfreeze_model, cached=self._eval_cached))
         self._cache = None
 
         if mesh is not None:
@@ -141,21 +148,28 @@ class Trainer:
 
     # -- validation (reference Lightning val loop, ddpm.py:372-379) ---------
     def validate(self, state: tstep.TrainState) -> float:
-        """Mean eps-MSE over a few val batches with a fixed rng (the
-        dictionaries/optimizer are untouched — the step runs on a copy)."""
+        """Mean eps-MSE over a few val batches with a fixed rng; loss-only
+        eval step — the dictionaries/optimizer are untouched and no state
+        copy is made.  Note: without a separate ``val_loader`` this measures
+        the loss under the *training* loader's augmentation, like the
+        reference (its val split reuses the train dataset, aigc_id.yaml)."""
+        if self._eval_cached and self._cache is not None:
+            val_batches = self._cache[: self.val_batches]
+        else:
+            val_batches = None
         losses = []
-        for bi, batch in enumerate(self.loader if self.val_loader is None
-                                   else self.val_loader):
+        source = (val_batches if val_batches is not None
+                  else (self.loader if self.val_loader is None
+                        else self.val_loader))
+        for bi, batch in enumerate(source):
             if bi >= self.val_batches:
                 break
             dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
                          if k != "captions"}
-            if self.mesh is not None:
+            if self.mesh is not None and val_batches is None:
                 dev_batch = pmesh.shard_batch(dev_batch, self.mesh)
-            val_state = state._replace(rng=jax.random.key(0))
-            # jit_step donates arg 0; pass a throwaway copy
-            _, logs = self.jit_step(jax.tree.map(jnp.copy, val_state),
-                                    self.frozen, self.basis, dev_batch)
+            logs = self.jit_eval(state, self.frozen, self.basis, dev_batch,
+                                 jax.random.key(0))
             losses.append(float(logs["loss_simple"]))
         return float(np.mean(losses)) if losses else float("nan")
 

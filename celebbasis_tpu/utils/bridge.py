@@ -21,6 +21,7 @@ immediately instead of silently random-initializing.
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Any, Dict, Iterable, List, Tuple
 
 import numpy as np
@@ -39,10 +40,25 @@ def _lin(w):    # (out,in) -> (in,out)
 class KeyMap:
     """Accumulates src->dst assignments and reports missing/unused keys."""
 
+    _tracked: "List[KeyMap] | None" = None   # see KeyMap.tracking()
+
     def __init__(self, src: Dict[str, np.ndarray]):
         self.src = src
         self.used = set()
         self.out: Dict[str, np.ndarray] = {}
+        if KeyMap._tracked is not None:
+            KeyMap._tracked.append(self)
+
+    @classmethod
+    @contextmanager
+    def tracking(cls):
+        """Collect every KeyMap created in the block (scripts/verify_weights.py
+        uses this to compute which checkpoint keys a converter consumed)."""
+        prev, cls._tracked = cls._tracked, []
+        try:
+            yield cls._tracked
+        finally:
+            cls._tracked = prev
 
     def take(self, key: str) -> np.ndarray:
         if key not in self.src:

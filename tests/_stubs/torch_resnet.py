@@ -1,0 +1,75 @@
+"""Minimal torchvision-compatible Bottleneck ResNet (torch), test oracle only.
+
+torchvision is absent in this image, but the reference PIPNet wraps a
+torchvision resnet (``lib/networks.py:12-26`` uses ``resnet.conv1/bn1/maxpool/
+layer1..layer4``).  This stub reproduces torchvision's ResNet v1.5 Bottleneck
+structure and state-dict naming exactly (``layer{i}.{j}.conv{k}/bn{k}`` and
+``layer{i}.{j}.downsample.{0,1}``, stride on conv2) so the PIPNet golden
+parity test can run without torchvision.  Structure cross-checked against
+torchvision/models/resnet.py (BSD); written from the published architecture,
+not copied.
+"""
+import torch
+import torch.nn as nn
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * self.expansion, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * self.expansion)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Backbone-only torchvision ResNet (no fc/avgpool — PIPNet ignores them)."""
+
+    def __init__(self, layers, width=64):
+        super().__init__()
+        self.inplanes = width
+        self.conv1 = nn.Conv2d(3, width, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(width, layers[0], stride=1)
+        self.layer2 = self._make_layer(width * 2, layers[1], stride=2)
+        self.layer3 = self._make_layer(width * 4, layers[2], stride=2)
+        self.layer4 = self._make_layer(width * 8, layers[3], stride=2)
+
+    def _make_layer(self, planes, blocks, stride):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * Bottleneck.expansion:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * Bottleneck.expansion, 1,
+                          stride=stride, bias=False),
+                nn.BatchNorm2d(planes * Bottleneck.expansion))
+        blocks_ = [Bottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * Bottleneck.expansion
+        for _ in range(1, blocks):
+            blocks_.append(Bottleneck(self.inplanes, planes))
+        return nn.Sequential(*blocks_)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        return self.layer4(self.layer3(self.layer2(self.layer1(x))))
+
+
+def resnet(layers=(3, 4, 6, 3), width=64):
+    return ResNet(list(layers), width)

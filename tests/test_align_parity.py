@@ -64,26 +64,34 @@ def test_decode_parity():
 
 
 def test_pipnet_resnet_parity():
-    """Our backbone+heads vs the reference Pip_resnet101 on a small resnet."""
-    tvm = pytest.importorskip("torchvision.models")
+    """Our backbone+heads vs the reference Pip_resnet101 on a small resnet.
+
+    torchvision is absent in this image; tests/_stubs/torch_resnet.py is a
+    hand-built torch ResNet with torchvision's exact Bottleneck structure and
+    state-dict naming, so the reference module wraps it unchanged.
+    """
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "_stubs"))
+    import torch_resnet
     from lib.networks import Pip_resnet101
     from celebbasis_tpu.align.pipnet import PIPNet, PIPNetConfig
     from celebbasis_tpu.utils.bridge_align import convert_pipnet
 
     torch.manual_seed(1)
-    # resnet50 shares the Bottleneck structure with resnet101, smaller/faster
-    resnet = tvm.resnet50(weights=None)
-    ref = Pip_resnet101(resnet, num_nb=10, num_lms=98, input_size=256,
+    # width 64 is forced by Pip_resnet101's hardcoded 2048-ch heads;
+    # (2,2,2,2) exercises both downsample and identity Bottleneck paths
+    resnet = torch_resnet.resnet(layers=(2, 2, 2, 2))
+    ref = Pip_resnet101(resnet, num_nb=10, num_lms=98, input_size=128,
                         net_stride=32).eval()
     for m in ref.modules():
         if isinstance(m, torch.nn.BatchNorm2d):
             m.running_mean.normal_(0, 0.05)
             m.running_var.uniform_(0.8, 1.2)
-    x = torch.randn(1, 3, 256, 256)
+    x = torch.randn(1, 3, 128, 128)
     with torch.no_grad():
         ref_outs = ref(x)
 
-    cfg = PIPNetConfig(layers=(3, 4, 6, 3))  # resnet50
+    cfg = PIPNetConfig(layers=(2, 2, 2, 2), input_size=128)
     params = convert_pipnet({k: v.numpy() for k, v in ref.state_dict().items()},
                             cfg)
     net = PIPNet(cfg)

@@ -124,6 +124,62 @@ def test_plms_matches_numpy_loop():
     np.testing.assert_allclose(np.asarray(got), x, rtol=2e-4, atol=2e-4)
 
 
+def _numpy_ddpm(eps_np, sched, x, cond, uncond, scale, clip=True):
+    """Reference-equation ancestral loop (ddpm.py:830-880), noise-free."""
+    for t in range(sched.num_timesteps - 1, -1, -1):
+        tb = np.full((x.shape[0],), t, np.int64)
+        e_u = eps_np(x, tb, uncond)
+        e_c = eps_np(x, tb, cond)
+        e = e_u + scale * (e_c - e_u)
+        x0 = (sched.sqrt_recip_alphas_cumprod[t] * x
+              - sched.sqrt_recipm1_alphas_cumprod[t] * e)
+        if clip:
+            x0 = np.clip(x0, -1.0, 1.0)
+        x = (sched.posterior_mean_coef1[t] * x0
+             + sched.posterior_mean_coef2[t] * x)
+    return x.astype(np.float32)
+
+
+def test_ddpm_ancestral_matches_numpy_loop():
+    from celebbasis_tpu.diffusion.sampler import ddpm_sample
+    sched = make_schedule(n_timestep=20)
+    eps_np, eps_jnp = _toy_eps_model()
+    rng = jax.random.key(3)
+    x_T = np.asarray(jax.random.normal(rng, SHAPE), np.float32)
+    cond = np.ones((2, 5, 8), np.float32)
+    uncond = np.zeros((2, 5, 8), np.float32)
+
+    # temperature=0 removes the posterior noise -> exact numpy comparison
+    ref = _numpy_ddpm(eps_np, sched, x_T.copy(), cond, uncond, scale=4.0)
+    got = jax.jit(lambda xT: ddpm_sample(
+        eps_jnp, sched, rng=jax.random.key(9), shape=SHAPE,
+        cond=jnp.asarray(cond), uncond=jnp.asarray(uncond),
+        cfg=SamplerConfig(guidance_scale=4.0, temperature=0.0),
+        x_T=xT))(jnp.asarray(x_T))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_ddpm_ancestral_stochastic_and_progressive():
+    from celebbasis_tpu.diffusion.sampler import ddpm_sample
+    sched = make_schedule(n_timestep=20)
+    _, eps_jnp = _toy_eps_model()
+    f = jax.jit(lambda k: ddpm_sample(
+        eps_jnp, sched, rng=k, shape=SHAPE, cond=jnp.ones((2, 5, 8)),
+        cfg=SamplerConfig(guidance_scale=1.0)))
+    a, b, c = f(jax.random.key(0)), f(jax.random.key(0)), f(jax.random.key(1))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(a, c)   # posterior noise varies with the key
+    # progressive mode: one x̂0 snapshot per 5-step segment
+    x, x0s = ddpm_sample(eps_jnp, sched, rng=jax.random.key(0), shape=SHAPE,
+                         cond=jnp.ones((2, 5, 8)),
+                         cfg=SamplerConfig(guidance_scale=1.0),
+                         return_x0_every=5)
+    assert x.shape == SHAPE and x0s.shape == (4,) + SHAPE
+    # eager segmented scan vs the jitted single scan: same chain, fp32 fuzz
+    np.testing.assert_allclose(np.asarray(x), np.asarray(a),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_q_sample_and_reconstruct():
     sched = make_schedule()
     arrs = ddpm.ScheduleArrays.from_schedule(sched)
