@@ -61,8 +61,15 @@ class LayerNorm(nn.Module):
 
 
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    """torch F.normalize(p=2) semantics: x / max(||x||, eps)."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    """torch F.normalize(p=2) semantics: x / max(||x||, eps).
+
+    Grad-safe at ``x == 0``: jnp.linalg.norm's gradient at zero is NaN
+    (0/0 inside sqrt's chain rule), whereas torch assigns the norm a zero
+    subgradient there — the double-where keeps the zero-vector branch's
+    gradient finite and torch-like (output x/eps, d/dx = 1/eps).
+    """
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    norm = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
     return x / jnp.maximum(norm, eps)
 
 

@@ -51,42 +51,55 @@ _TP_RULES = [
     (re.compile(r"(ff/proj_in|fc1)/kernel"), P(None, "model")),
     (re.compile(r"(ff/proj_in|fc1)/bias"), P("model")),
     (re.compile(r"(ff/proj_out|fc2)/kernel"), P("model", None)),
-    # conv output channels (channel-parallel convs in res blocks)
+]
+
+# Conv channel-parallel rules — OFF by default.  scripts/audit_tp_rules.py
+# (4x2 virtual mesh, full train step) measured: dp-only 5 collectives,
+# attention/MLP TP 89, + conv rules 163 — the conv specs add 74 collectives
+# (29 extra all-gathers) that are pure activation reshards around GroupNorm
+# and skip-concats, with no matching all-reduce savings.  Kept opt-in for
+# experimentation on real pods (conv_tp=True).
+_TP_CONV_RULES = [
     (re.compile(r"(conv1)/kernel"), P(None, None, None, "model")),
     (re.compile(r"(conv1)/bias"), P("model")),
     (re.compile(r"(conv2|skip)/kernel"), P(None, None, "model", None)),
 ]
 
 
-def param_partition_spec(path: str, ndim: int, use_tp: bool) -> P:
+def param_partition_spec(path: str, ndim: int, use_tp: bool,
+                         conv_tp: bool = False) -> P:
     if use_tp:
-        for rx, spec in _TP_RULES:
+        rules = _TP_RULES + (_TP_CONV_RULES if conv_tp else [])
+        for rx, spec in rules:
             if rx.search(path):
                 if len([s for s in spec if s is not None]) and ndim == len(spec):
                     return spec
     return P()
 
 
-def shard_params(params: Any, mesh: Mesh, use_tp: bool = False) -> Any:
+def shard_params(params: Any, mesh: Mesh, use_tp: bool = False,
+                 conv_tp: bool = False) -> Any:
     """Place a param pytree on the mesh (replicated, or TP-sharded if 2-D)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
     out = []
     for path, leaf in flat:
         name = jax.tree_util.keystr(path, simple=True, separator="/")
-        spec = param_partition_spec(name, getattr(leaf, "ndim", 0), use_tp)
+        spec = param_partition_spec(name, getattr(leaf, "ndim", 0), use_tp,
+                                    conv_tp)
         out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def param_shardings(params: Any, mesh: Mesh, use_tp: bool = False) -> Any:
+def param_shardings(params: Any, mesh: Mesh, use_tp: bool = False,
+                    conv_tp: bool = False) -> Any:
     """The NamedSharding pytree (for jit in_shardings) without placing data."""
     def one(path, leaf):
         name = jax.tree_util.keystr(path, simple=True, separator="/")
         return NamedSharding(mesh,
                              param_partition_spec(name,
                                                   getattr(leaf, "ndim", 0),
-                                                  use_tp))
+                                                  use_tp, conv_tp))
     return jax.tree_util.tree_map_with_path(one, params)
 
 

@@ -230,3 +230,25 @@ def test_pt_io_roundtrip_still_works(tmp_path):
     back = pt_io.load_pt(p)
     np.testing.assert_array_equal(back["a"], obj["a"])
     np.testing.assert_array_equal(back["nested"]["b"], obj["nested"]["b"])
+
+
+def test_l2_normalize_grad_safe_at_zero():
+    """jnp.linalg.norm's grad at 0 is NaN; torch F.normalize's is finite.
+    The dryrun's zero-face batch hit this through the FR-feature norm
+    (round-2 multi-step hardening found trainables going NaN at step 2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from celebbasis_tpu.ops.basic import l2_normalize
+
+    x = jnp.zeros((3, 4))
+    y, vjp = jax.vjp(lambda a: l2_normalize(a, axis=-1), x)
+    assert np.isfinite(np.asarray(y)).all()
+    (gx,) = vjp(jnp.ones_like(y))
+    assert np.isfinite(np.asarray(gx)).all(), "NaN grad at zero vector"
+    # non-degenerate inputs unchanged: matches x / max(||x||, eps)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((5, 7)), jnp.float32)
+    want = np.asarray(a) / np.maximum(
+        np.linalg.norm(np.asarray(a), axis=-1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(np.asarray(l2_normalize(a)), want, rtol=1e-6)
