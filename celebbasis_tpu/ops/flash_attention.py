@@ -58,9 +58,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float,
             q, k.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (BQ, BK)
-        key_idx = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1)
-        s = jnp.where(key_idx < m_real, s, _NEG_INF)
+        if m_real < mp:        # static: no mask VPU work for aligned seqs
+            key_idx = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            s = jnp.where(key_idx < m_real, s, _NEG_INF)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -77,7 +78,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, scale: float,
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m_i, l_i = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
     o_ref[:] = (acc / l_i).astype(o_ref.dtype)
-    l_ref[:] = jnp.broadcast_to(m_i + jnp.log(l_i), (bq, _LANE))
+    if l_ref is not None:   # inference path skips the logsumexp output
+        l_ref[:] = jnp.broadcast_to(m_i + jnp.log(l_i), (bq, _LANE))
+
+
+def _fwd_kernel_infer(q_ref, k_ref, v_ref, o_ref, *, scale, m_real, block_k):
+    _fwd_kernel(q_ref, k_ref, v_ref, o_ref, None, scale=scale,
+                m_real=m_real, block_k=block_k)
 
 
 def _pad_nd(x, n_to, d_to):
@@ -104,25 +111,37 @@ def _forward(q, k, v, block_q, block_k, with_stats):
     kp = _pad_nd(k, mp, dp).reshape(B * H, mp, dp)
     vp = _pad_nd(v, mp, dp).reshape(B * H, mp, dp)
 
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, m_real=M, block_k=bk),
-        grid=(B * H, np_ // bq),
-        in_specs=[
-            pl.BlockSpec((None, bq, dp), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((None, mp, dp), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((None, mp, dp), lambda b, i: (b, 0, 0)),
-        ],
-        out_specs=(pl.BlockSpec((None, bq, dp), lambda b, i: (b, i, 0)),
-                   pl.BlockSpec((None, bq, _LANE), lambda b, i: (b, i, 0))),
-        out_shape=(jax.ShapeDtypeStruct((B * H, np_, dp), q.dtype),
-                   jax.ShapeDtypeStruct((B * H, np_, _LANE), jnp.float32)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-    )(qp, kp, vp)
-    o = out.reshape(B, H, np_, dp)[:, :, :N, :D]
+    in_specs = [
+        pl.BlockSpec((None, bq, dp), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((None, mp, dp), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((None, mp, dp), lambda b, i: (b, 0, 0)),
+    ]
+    o_spec = pl.BlockSpec((None, bq, dp), lambda b, i: (b, i, 0))
+    o_shape = jax.ShapeDtypeStruct((B * H, np_, dp), q.dtype)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
     if with_stats:
-        return o, (qp, kp, vp, lse)
-    return o
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel, scale=scale, m_real=M, block_k=bk),
+            grid=(B * H, np_ // bq),
+            in_specs=in_specs,
+            out_specs=(o_spec,
+                       pl.BlockSpec((None, bq, _LANE), lambda b, i: (b, i, 0))),
+            out_shape=(o_shape,
+                       jax.ShapeDtypeStruct((B * H, np_, _LANE), jnp.float32)),
+            compiler_params=params,
+        )(qp, kp, vp)
+        return out.reshape(B, H, np_, dp)[:, :, :N, :D], (qp, kp, vp, lse)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_infer, scale=scale, m_real=M,
+                          block_k=bk),
+        grid=(B * H, np_ // bq),
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=o_shape,
+        compiler_params=params,
+    )(qp, kp, vp)
+    return out.reshape(B, H, np_, dp)[:, :, :N, :D]
 
 
 # ---------------------------------------------------------------------------
@@ -143,9 +162,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, l_ref, d_ref, do_ref, dq_ref, *,
         v = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        key_idx = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1)
-        s = jnp.where(key_idx < m_real, s, _NEG_INF)
+        if m_real < mp:        # static skip for aligned seqs
+            key_idx = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            s = jnp.where(key_idx < m_real, s, _NEG_INF)
         p = jnp.exp(s - lse)
         dp_ = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -159,7 +179,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, l_ref, d_ref, do_ref, dq_ref, *,
 
 
 def _dkv_kernel(k_ref, v_ref, q_ref, l_ref, d_ref, do_ref, dk_ref, dv_ref, *,
-                scale: float, m_real: int, n_real: int, block_q: int):
+                scale: float, m_real: int, n_real: int, block_q: int,
+                m_total: int):
     bk, dp = k_ref.shape
     np_ = q_ref.shape[0]
     k = k_ref[:].astype(jnp.float32)
@@ -175,9 +196,11 @@ def _dkv_kernel(k_ref, v_ref, q_ref, l_ref, d_ref, do_ref, dk_ref, dv_ref, *,
         dvec = d_ref[pl.ds(qb * block_q, block_q), :1]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        row_idx = qb * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, 1), 0)
-        s = jnp.where((key_idx < m_real) & (row_idx < n_real), s, _NEG_INF)
+        if m_real < m_total or n_real < np_:   # static skip for aligned seqs
+            row_idx = qb * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0)
+            s = jnp.where((key_idx < m_real) & (row_idx < n_real), s,
+                          _NEG_INF)
         p = jnp.exp(s - lse)                              # (BQ, BK)
         dv = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -239,7 +262,7 @@ def _flash_bwd_rule(block_q, block_k, res, g):
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, m_real=M, n_real=N,
-                          block_q=bq),
+                          block_q=bq, m_total=mp),
         grid=(BH, mp // bk),
         in_specs=[
             pl.BlockSpec((None, bk, dp), lambda b, j: (b, j, 0)),
@@ -280,7 +303,13 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     cases (CLIP causal) take the XLA core in ``ops.attention``.
     """
     assert mask is None, "pallas path is mask-free; use impl='xla'"
-    # (256, 512) measured best end-to-end in the SD UNet on v5e; isolated
-    # kernel sweeps preferred (128, 1024) for 4096-token self-attention but
-    # regressed the full model ~4% — keep the fused-graph winner.
-    return _flash_jit(q, k, v, block_q or 256, block_k or 512)
+    # Round-2 retune with latency-cancelled differential timing (the round-1
+    # per-call sweep was poisoned by ~65 ms tunnel latency): for 4096-token
+    # self-attention large K tiles win — (256, 2048) runs 0.95 ms vs
+    # (256, 512)'s 1.30 ms (fewer online-softmax rescale passes per K sweep),
+    # and single-tile bk=4096 plus the static-mask/logsumexp skips took the
+    # end-to-end DDIM bench 44.8 -> 47.1 steps/s.  Short sequences are
+    # insensitive (k/v fit one tile either way).
+    if block_k is None:
+        block_k = 4096 if k.shape[2] >= 2048 else 512
+    return _flash_jit(q, k, v, block_q or 256, block_k)
