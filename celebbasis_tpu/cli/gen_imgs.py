@@ -36,6 +36,7 @@ def main(argv=None):
     p.add_argument("--H", type=int, default=512)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--vocab", type=str, default=None)
+    p.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
     p.add_argument("--use_pos_temp", action="store_true",
                    help="wrap prompts in the positive template (the "
                         "reference ships this line commented out, "
@@ -45,7 +46,9 @@ def main(argv=None):
     spec = load_run_spec(args.config)
     asm = assemble(spec, sd_ckpt=args.ckpt, vocab_path=args.vocab,
                    embedding_ckpt=args.embedding_path, image_size=args.H,
-                   seed=args.seed)
+                   seed=args.seed,
+                   param_dtype=jnp.bfloat16 if args.precision == "bf16"
+                   else None)
     with open(args.from_file) as f:
         prompts = [l.strip() for l in f if l.strip()]
     # the negative template is the unconditional prompt under CFG

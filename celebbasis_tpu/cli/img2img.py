@@ -89,6 +89,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--ids", type=int, nargs="+", default=[0])
     p.add_argument("--vocab", default=None)
+    p.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
     args = p.parse_args(argv)
 
     from PIL import Image
@@ -100,7 +101,9 @@ def main(argv=None):
     spec = load_run_spec(args.config)
     asm = assemble(spec, sd_ckpt=args.ckpt, vocab_path=args.vocab,
                    embedding_ckpt=args.embedding_path, image_size=size,
-                   seed=args.seed)
+                   seed=args.seed,
+                   param_dtype=jnp.bfloat16 if args.precision == "bf16"
+                   else None)
     f = asm.pipeline.latent_factor
     mask = None
     if args.mask:

@@ -93,6 +93,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fr_ckpt", type=str, default=None,
                    help="CosFace IResNet-100 backbone.pth for --faces")
     p.add_argument("--no-grid", action="store_true")
+    p.add_argument("--precision", choices=["bf16", "fp32"], default="bf16",
+                   help="frozen-weight storage; bf16 halves their HBM "
+                        "traffic (inference default), fp32 for exact "
+                        "parity runs")
     p.add_argument("--mesh", type=int, default=None,
                    help="shard the sample batch over N devices (data-parallel"
                         " sampling; n_samples must divide by N)")
@@ -106,7 +110,9 @@ def main(argv=None):
     asm = assemble(spec, sd_ckpt=args.ckpt, vocab_path=args.vocab,
                    fr_ckpt=args.fr_ckpt,
                    embedding_ckpt=args.embedding_path, image_size=args.H,
-                   seed=args.seed)
+                   seed=args.seed,
+                   param_dtype=jnp.bfloat16 if args.precision == "bf16"
+                   else None)
 
     if args.from_file:
         with open(args.from_file) as f:

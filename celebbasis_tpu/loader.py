@@ -62,8 +62,13 @@ def assemble(spec: RunSpec, *, sd_ckpt: Optional[str] = None,
              vocab_path: Optional[str] = None,
              embedding_ckpt: Optional[str] = None,
              image_size: int = 512, seed: int = 0,
-             dtype=jnp.bfloat16, cache_dir: Optional[str] = ".cache/celeb_basis"
-             ) -> Assembled:
+             dtype=jnp.bfloat16, cache_dir: Optional[str] = ".cache/celeb_basis",
+             param_dtype=None) -> Assembled:
+    """``param_dtype=jnp.bfloat16`` casts the frozen SD params (unet/vae/clip)
+    to bf16 *storage* — inference-only: halves their HBM read traffic
+    (+4.5% on the DDIM bench, utils/precision.py).  Training passes None
+    and keeps fp32 masters.  The celeb basis is always built from the fp32
+    token table before any cast."""
     tokenizer = default_tokenizer(vocab_path)
     if tokenizer.vocab_size != spec.clip.vocab_size:
         # offline synthetic fallback must match the model's embedding table
@@ -119,6 +124,10 @@ def assemble(spec: RunSpec, *, sd_ckpt: Optional[str] = None,
     if embedding_ckpt:
         state = mgr.load_checkpoint(m_cfg, embedding_ckpt, state)
         print(f"[loader] loaded personalization checkpoint {embedding_ckpt}")
+
+    if param_dtype is not None:
+        from celebbasis_tpu.utils.precision import cast_float_params
+        params = cast_float_params(params, param_dtype)
 
     return Assembled(spec, tokenizer, pipe, params, jnp.asarray(basis),
                      meta, meta_params, state)

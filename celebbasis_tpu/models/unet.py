@@ -29,6 +29,7 @@ import flax.linen as nn
 
 from celebbasis_tpu.ops.attention import attention
 from celebbasis_tpu.ops.basic import GroupNorm, LayerNorm, ZeroConv, timestep_embedding
+from celebbasis_tpu.ops.geglu import geglu_block, geglu_ffn
 from celebbasis_tpu.ops.resize import upsample2x_nearest
 
 
@@ -104,19 +105,61 @@ class CrossAttention(nn.Module):
                         name="to_out")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares an nn.Dense-shaped (kernel, bias) pair without running the
+    matmul — same names/shapes/init as nn.Dense so checkpoints and the
+    torch bridge are unchanged while the compute goes through the fused
+    GEGLU kernel."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+class _LNLeaf(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return s, b
+
+
+class _LNParams(nn.Module):
+    """Mirror of ops.basic.LayerNorm's param tree (<name>/LayerNorm_0/...)
+    for kernels that consume the scale/bias directly."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNLeaf(self.features, name="LayerNorm_0")()
+
+
 class FeedForwardGEGLU(nn.Module):
-    """GEGLU MLP: proj to 2*4d, x*gelu(gate), back to d (attention.py:196-215)."""
+    """GEGLU MLP: proj to 2*4d, x*gelu(gate), back to d (attention.py:196-215).
+
+    With ``ln`` (the norm3 scale/bias), computes the whole residual
+    sub-block ``x + GEGLU(LN(x))`` through the fused Pallas kernel on TPU
+    (ops/geglu.py — the gated intermediate, the norm pass, and the
+    residual all stay in VMEM); XLA reference path elsewhere."""
     dtype: jnp.dtype
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None):
         d = x.shape[-1]
-        h = nn.Dense(d * 8, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="proj_in")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
-        return nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32,
-                        name="proj_out")(h)
+        w1, b1 = _DenseParams(d * 8, name="proj_in")(d)
+        w2, b2 = _DenseParams(d, name="proj_out")(d * 4)
+        if ln is None:
+            return geglu_ffn(x.astype(self.dtype), w1, b1, w2, b2)
+        return geglu_block(x.astype(self.dtype), ln[0], ln[1], w1, b1, w2, b2)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -130,7 +173,8 @@ class BasicTransformerBlock(nn.Module):
                                name="attn1")(LayerNorm(name="norm1")(x))
         x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
                                name="attn2")(LayerNorm(name="norm2")(x), context)
-        x = x + FeedForwardGEGLU(self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        ln3 = _LNParams(x.shape[-1], name="norm3")()
+        x = FeedForwardGEGLU(self.dtype, name="ff")(x, ln=ln3)
         return x
 
 

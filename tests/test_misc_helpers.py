@@ -69,3 +69,41 @@ def test_manager_reconstruct_matches_numpy():
                                          jnp.asarray(basis)))
     z_np = reconstruct(coeff, basis)
     np.testing.assert_allclose(z_dev, z_np, atol=1e-5)
+
+
+def test_cast_float_params_selective():
+    from celebbasis_tpu.utils.precision import cast_float_params
+    tree = {"w": jnp.ones((2, 2), jnp.float32),
+            "step": jnp.zeros((), jnp.int32),
+            "h": jnp.ones((2,), jnp.bfloat16),
+            "scalar": 3}
+    out = cast_float_params(tree)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["step"].dtype == jnp.int32       # ints untouched
+    assert out["h"].dtype == jnp.bfloat16
+    assert out["scalar"] == 3                   # non-arrays untouched
+    # idempotent
+    again = cast_float_params(out)
+    assert again["w"].dtype == jnp.bfloat16
+
+
+def test_bf16_params_close_to_fp32_forward():
+    """bf16 *storage* changes outputs only at bf16-rounding scale: the
+    compute path already rounds every activation to bf16."""
+    from celebbasis_tpu.models.unet import UNetConfig, UNetModel
+    from celebbasis_tpu.utils.precision import cast_float_params
+    cfg = UNetConfig(model_channels=32, channel_mult=(1, 2), num_heads=2,
+                     num_res_blocks=1, attention_resolutions=(1,),
+                     context_dim=16, transformer_depth=1)
+    model = UNetModel(cfg, dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8, 8, 4)),
+                    jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    c = jnp.asarray(np.random.default_rng(1).standard_normal((1, 7, 16)),
+                    jnp.float32) * 0.1
+    p32 = model.init(jax.random.key(0), x, t, c)
+    p16 = cast_float_params(p32)
+    y32 = np.asarray(model.apply(p32, x, t, c), np.float32)
+    y16 = np.asarray(model.apply(p16, x, t, c), np.float32)
+    scale = np.abs(y32).mean() + 1e-6
+    assert np.abs(y32 - y16).mean() / scale < 0.05
