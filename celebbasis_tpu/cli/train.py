@@ -46,6 +46,10 @@ def build_argparser():
                    help="fast mode: precompute N augmented batches of frozen "
                         "VAE posteriors + FR features and cycle them (exact "
                         "per-sample semantics; aug variety limited to N*bs)")
+    p.add_argument("--frozen_bf16", action="store_true",
+                   help="store the frozen UNet/VAE/CLIP/FR weights in bf16 "
+                        "(halves their HBM reads per step; fp32 is the "
+                        "parity default)")
     p.add_argument("-r", "--resume", type=str, default=None,
                    help="resume from a run dir (loads the latest "
                         "embeddings_gs-*.pt; reference main_id_embed -r)")
@@ -65,6 +69,7 @@ def main(argv=None):
     if spec.train_data:
         spec.train_data.image_size = args.image_size
     spec.trainer.cache_latents = args.cache_latents
+    spec.trainer.frozen_bf16 = args.frozen_bf16
     spec.trainer.name = args.name
     spec.trainer.logdir = args.logdir
     spec.trainer.seed = args.seed

@@ -49,13 +49,19 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *, num_heads: int,
     """
     impl = impl or _resolve_impl()
     B, N, C = q.shape
+    M = k.shape[1]
     H = num_heads
     qh = rearrange(q, "b n (h d) -> b h n d", h=H)
     kh = rearrange(k, "b m (h d) -> b h m d", h=H)
     vh = rearrange(v, "b m (h d) -> b h m d", h=H)
     # the pallas flash kernel is mask-free; masked attention (CLIP causal)
-    # always takes the XLA path
-    if impl == "pallas" and mask is None:
+    # always takes the XLA path.  It also keeps whole K/V resident in VMEM
+    # per program, so huge M*head_dim (the VAE's 1-head 4096-token d=512
+    # mid attention: 8MB K+V, 16.5MB double-buffered — measured scoped-VMEM
+    # OOM) routes to XLA, where the materialized-logits cost is trivial
+    # (~0.16 ms) next to the surrounding 512² convs.
+    head_dim_p = -(-(C // H) // 128) * 128
+    if impl == "pallas" and mask is None and M * head_dim_p <= 2 ** 20:
         from celebbasis_tpu.ops.flash_attention import flash_attention
         out = flash_attention(qh, kh, vh)
     else:

@@ -233,6 +233,14 @@ def _flash_bwd_rule(block_q, block_k, res, g):
     qp, kp, vp, lse, o, q_shape, M = res
     B, H, N, D = q_shape
     scale = D ** -0.5
+    # the backward kernels hold whole-sequence q/l/D/do blocks per program,
+    # so the forward's large-tile tuning (bq=2048 tiny-K, bk=4096) blows the
+    # 16MB scoped-VMEM budget here (measured: 19.8M at bk=4096, seq 4096).
+    # Re-derive geometry with the backward's own caps; padding (mp, np_)
+    # stays consistent with the saved fwd residuals because mp from
+    # _geometry is ceil(M, bk) and 512 | 4096 (and bq caps only shrink
+    # the q-grid tile, not np_).
+    block_q, block_k = min(block_q, 256), min(block_k, 512)
     dp, bq, bk, mp, np_ = _geometry(N, M, D, block_q, block_k)
     BH = B * H
 

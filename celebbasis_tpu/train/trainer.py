@@ -53,6 +53,7 @@ class TrainerConfig:
     unfreeze_model: bool = False
     model_lr: float = 0.0
     cache_latents: int = 0   # >0: precompute N batches of frozen features
+    frozen_bf16: bool = False  # store frozen UNet/VAE/CLIP/FR weights bf16
     log_every: int = 10
     seed: int = 23
     n_data_shards: int = 1
@@ -117,6 +118,13 @@ class Trainer:
             train_unet=cfg.unfreeze_model, cached=self._eval_cached))
         self._cache = None
 
+        if cfg.frozen_bf16:
+            # the frozen nets are read-only: bf16 storage halves their HBM
+            # traffic in both the forward and the recompute-backward (same
+            # rounding the bf16 compute path applies to activations anyway);
+            # fp32 remains the parity default
+            from celebbasis_tpu.utils.precision import cast_float_params
+            frozen_params = cast_float_params(frozen_params)
         if mesh is not None:
             self.frozen = pmesh.shard_params(frozen_params, mesh)
             self.basis = jax.device_put(basis, pmesh.replicated(mesh))
