@@ -31,7 +31,7 @@ from celebbasis_tpu.utils.precision import cast_float_params
 
 
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "fp32"
+    mode = sys.argv[1] if len(sys.argv) > 1 else "fp32"  # fp32|bf16|cached
     spec = load_run_spec(["configs/aigc_id.yaml"])
     asm = assemble(spec, image_size=512, seed=0)
 
@@ -43,22 +43,39 @@ def main():
     optimizer = tstep.make_optimizer(5e-3)
     state = tstep.init_train_state(jax.random.key(0), trainable, optimizer,
                                    asm.manager_state)
-    step_fn = jax.jit(
-        tstep.make_train_step(asm.pipeline, asm.meta_net, optimizer),
-        donate_argnums=(0,))
-
     rng = np.random.default_rng(0)
     B, k = 2, 2
-    batch = {
-        "image": jnp.asarray(rng.standard_normal((B, 512, 512, 3)) * 0.3,
-                             jnp.float32),
-        "tokens": jnp.asarray(
-            rng.integers(0, spec.clip.vocab_size, (B, 77)), jnp.int32),
-        "faces": jnp.asarray(rng.standard_normal((B, k, 112, 112, 3)) * 0.3,
-                             jnp.float32),
-        "ids": jnp.zeros((B, k), jnp.int32),
-        "num_ids": jnp.ones((B,), jnp.int32),
-    }
+    if mode == "cached":
+        step_fn = jax.jit(
+            tstep.make_cached_train_step(asm.pipeline, asm.meta_net,
+                                         optimizer),
+            donate_argnums=(0,))
+        fr_dim = 512
+        batch = {
+            "latent_mean": jnp.asarray(
+                rng.standard_normal((B, 64, 64, 4)), jnp.float32),
+            "latent_logvar": jnp.zeros((B, 64, 64, 4), jnp.float32),
+            "fr_feats": jnp.asarray(
+                rng.standard_normal((B, k, fr_dim)), jnp.float32),
+            "tokens": jnp.asarray(
+                rng.integers(0, spec.clip.vocab_size, (B, 77)), jnp.int32),
+            "ids": jnp.zeros((B, k), jnp.int32),
+            "num_ids": jnp.ones((B,), jnp.int32),
+        }
+    else:
+        step_fn = jax.jit(
+            tstep.make_train_step(asm.pipeline, asm.meta_net, optimizer),
+            donate_argnums=(0,))
+        batch = {
+            "image": jnp.asarray(rng.standard_normal((B, 512, 512, 3)) * 0.3,
+                                 jnp.float32),
+            "tokens": jnp.asarray(
+                rng.integers(0, spec.clip.vocab_size, (B, 77)), jnp.int32),
+            "faces": jnp.asarray(
+                rng.standard_normal((B, k, 112, 112, 3)) * 0.3, jnp.float32),
+            "ids": jnp.zeros((B, k), jnp.int32),
+            "num_ids": jnp.ones((B,), jnp.int32),
+        }
 
     state, logs = step_fn(state, frozen, asm.basis, batch)
     jax.block_until_ready(logs["loss"])
