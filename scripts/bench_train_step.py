@@ -31,21 +31,21 @@ from celebbasis_tpu.utils.precision import cast_float_params
 
 
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "fp32"  # fp32|bf16|cached
+    mode = sys.argv[1] if len(sys.argv) > 1 else "fp32"  # fp32|bf16|cached|cached_bf16
     spec = load_run_spec(["configs/aigc_id.yaml"])
     asm = assemble(spec, image_size=512, seed=0)
 
     trainable, meta_frozen = tstep.split_meta_params(asm.meta_params)
     frozen = {"unet": asm.params["unet"], "vae": asm.params["vae"],
               "clip": asm.params["clip"], "meta_frozen": meta_frozen}
-    if mode == "bf16":
+    if "bf16" in mode:
         frozen = cast_float_params(frozen)
     optimizer = tstep.make_optimizer(5e-3)
     state = tstep.init_train_state(jax.random.key(0), trainable, optimizer,
                                    asm.manager_state)
     rng = np.random.default_rng(0)
     B, k = 2, 2
-    if mode == "cached":
+    if mode.startswith("cached"):
         step_fn = jax.jit(
             tstep.make_cached_train_step(asm.pipeline, asm.meta_net,
                                          optimizer),
