@@ -46,6 +46,10 @@ def build_argparser():
                    help="fast mode: precompute N augmented batches of frozen "
                         "VAE posteriors + FR features and cycle them (exact "
                         "per-sample semantics; aug variety limited to N*bs)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard large frozen weights over the mesh 'data' "
+                        "axis (GSPMD all-gathers at use): ~Nx less frozen "
+                        "HBM per chip on an N-way mesh")
     p.add_argument("--frozen_bf16", action="store_true",
                    help="store the frozen UNet/VAE/CLIP/FR weights in bf16 "
                         "(halves their HBM reads per step; fp32 is the "
@@ -70,6 +74,7 @@ def main(argv=None):
         spec.train_data.image_size = args.image_size
     spec.trainer.cache_latents = args.cache_latents
     spec.trainer.frozen_bf16 = args.frozen_bf16
+    spec.trainer.fsdp = args.fsdp
     spec.trainer.name = args.name
     spec.trainer.logdir = args.logdir
     spec.trainer.seed = args.seed

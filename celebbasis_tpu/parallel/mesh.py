@@ -77,29 +77,59 @@ def param_partition_spec(path: str, ndim: int, use_tp: bool,
     return P()
 
 
+# FSDP-style weight sharding: no reference counterpart (DDP replicates);
+# this is the TPU-native memory-scaling lever — shard each large frozen
+# leaf over 'data' and let GSPMD all-gather it at use.  Per-chip frozen
+# memory drops ~Nx (3.4GB fp32 -> 0.43GB on a v5e-8) at the cost of one
+# weights all-gather per step, which overlaps compute on ICI.
+_FSDP_MIN_SIZE = 2 ** 20  # leaves under 1M elements stay replicated
+
+
+def fsdp_partition_spec(shape, n_data: int,
+                        min_size: int = _FSDP_MIN_SIZE) -> P:
+    """Shard the largest n_data-divisible axis over 'data'; small or
+    indivisible leaves stay replicated."""
+    size = int(np.prod(shape)) if shape else 0
+    if size < min_size:
+        return P()
+    for d in sorted(range(len(shape)), key=lambda d: -shape[d]):
+        if shape[d] % n_data == 0:
+            spec = [None] * len(shape)
+            spec[d] = "data"
+            return P(*spec)
+    return P()
+
+
 def shard_params(params: Any, mesh: Mesh, use_tp: bool = False,
-                 conv_tp: bool = False) -> Any:
-    """Place a param pytree on the mesh (replicated, or TP-sharded if 2-D)."""
+                 conv_tp: bool = False, fsdp: bool = False) -> Any:
+    """Place a param pytree on the mesh (replicated, TP-sharded if 2-D,
+    and/or FSDP-sharded over 'data' for leaves no TP rule claimed)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
+    n_data = mesh.shape["data"]
     out = []
     for path, leaf in flat:
         name = jax.tree_util.keystr(path, simple=True, separator="/")
         spec = param_partition_spec(name, getattr(leaf, "ndim", 0), use_tp,
                                     conv_tp)
+        if fsdp and spec == P():
+            spec = fsdp_partition_spec(getattr(leaf, "shape", ()), n_data)
         out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def param_shardings(params: Any, mesh: Mesh, use_tp: bool = False,
-                    conv_tp: bool = False) -> Any:
+                    conv_tp: bool = False, fsdp: bool = False) -> Any:
     """The NamedSharding pytree (for jit in_shardings) without placing data."""
+    n_data = mesh.shape["data"]
+
     def one(path, leaf):
         name = jax.tree_util.keystr(path, simple=True, separator="/")
-        return NamedSharding(mesh,
-                             param_partition_spec(name,
-                                                  getattr(leaf, "ndim", 0),
-                                                  use_tp, conv_tp))
+        spec = param_partition_spec(name, getattr(leaf, "ndim", 0),
+                                    use_tp, conv_tp)
+        if fsdp and spec == P():
+            spec = fsdp_partition_spec(getattr(leaf, "shape", ()), n_data)
+        return NamedSharding(mesh, spec)
     return jax.tree_util.tree_map_with_path(one, params)
 
 

@@ -54,6 +54,7 @@ class TrainerConfig:
     model_lr: float = 0.0
     cache_latents: int = 0   # >0: precompute N batches of frozen features
     frozen_bf16: bool = False  # store frozen UNet/VAE/CLIP/FR weights bf16
+    fsdp: bool = False       # shard large frozen leaves over the 'data' axis
     log_every: int = 10
     seed: int = 23
     n_data_shards: int = 1
@@ -126,7 +127,8 @@ class Trainer:
             from celebbasis_tpu.utils.precision import cast_float_params
             frozen_params = cast_float_params(frozen_params)
         if mesh is not None:
-            self.frozen = pmesh.shard_params(frozen_params, mesh)
+            self.frozen = pmesh.shard_params(frozen_params, mesh,
+                                             fsdp=cfg.fsdp)
             self.basis = jax.device_put(basis, pmesh.replicated(mesh))
         else:
             self.frozen = frozen_params

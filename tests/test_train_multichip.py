@@ -180,3 +180,46 @@ def test_cached_step_matches_uncached():
     a = jax.tree.leaves(new_std.trainable)[0]
     b = jax.tree.leaves(new_c.trainable)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fsdp_matches_dp():
+    """FSDP-sharded frozen weights (sharded over 'data', GSPMD all-gathers
+    at use) must be numerically identical to replicated DP — sharding only
+    changes placement.  Memory: every FSDP'd leaf holds 1/8 per device."""
+    from celebbasis_tpu.parallel import mesh as pmesh
+
+    pipe, meta, step_fn, state, frozen, basis, batch = _tiny_setup()
+    rep = lambda a: jnp.concatenate([a] * 4, axis=0)
+    batch8 = {k: rep(v) for k, v in batch.items()}
+
+    mesh = pmesh.make_mesh(n_data=8, n_model=1)
+    with jax.set_mesh(mesh):
+        batch_sh = pmesh.shard_batch(batch8, mesh)
+        state_sh = jax.device_put(state, pmesh.replicated(mesh))
+        basis_sh = jax.device_put(basis, pmesh.replicated(mesh))
+
+        frozen_rep = pmesh.shard_params(frozen, mesh)
+        dp_state, dp_logs = jax.jit(step_fn)(state_sh, frozen_rep, basis_sh,
+                                             batch_sh)
+
+        # force FSDP onto the tiny test model by dropping the size floor
+        import celebbasis_tpu.parallel.mesh as pm
+        frozen_fsdp = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(frozen),
+            [jax.device_put(
+                leaf, jax.sharding.NamedSharding(
+                    mesh, pm.fsdp_partition_spec(leaf.shape, 8, min_size=64)))
+             for leaf in jax.tree.leaves(frozen)])
+        n_sharded = sum(
+            1 for leaf in jax.tree.leaves(frozen_fsdp)
+            if leaf.sharding.spec != jax.sharding.PartitionSpec())
+        assert n_sharded > 0, "no leaf actually FSDP-sharded"
+        fs_state, fs_logs = jax.jit(step_fn)(state_sh, frozen_fsdp, basis_sh,
+                                             batch_sh)
+
+    np.testing.assert_allclose(float(fs_logs["loss"]),
+                               float(dp_logs["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(dp_state.trainable),
+                    jax.tree.leaves(fs_state.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
