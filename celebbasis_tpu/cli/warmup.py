@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_sample", action="store_true")
+    p.add_argument("--precision", choices=["bf16", "fp32"], default="bf16",
+                   help="match the inference CLIs' weight-storage precision "
+                        "so the warmed graph is the one they run")
     args = p.parse_args(argv)
 
     os.makedirs(args.cache_dir, exist_ok=True)
@@ -41,6 +44,12 @@ def main(argv=None):
 
     if not args.skip_sample:
         t0 = time.time()
+        # sampling CLIs default to bf16 weight storage — warm that graph
+        # (training below stays fp32, its parity default)
+        sample_params = asm.params
+        if args.precision == "bf16":
+            from celebbasis_tpu.utils.precision import cast_float_params
+            sample_params = cast_float_params(asm.params)
         fn = asm.pipeline.make_txt2img_fn(num_steps=args.ddim_steps,
                                           guidance_scale=10.0,
                                           image_size=args.image_size)
@@ -48,7 +57,7 @@ def main(argv=None):
         tokens = jnp.asarray(asm.tokenizer(["a photo of a sks person"] * B))
         uncond = jnp.asarray(asm.tokenizer([""] * B))
         k = len(asm.pipeline.manager_cfg.placeholder_token_ids)
-        np.asarray(fn(asm.params, asm.manager_state, asm.basis, tokens,
+        np.asarray(fn(sample_params, asm.manager_state, asm.basis, tokens,
                       uncond, jnp.zeros((B, k), jnp.int32),
                       jnp.ones((B,), jnp.int32), jax.random.key(0)))
         print(f"[warmup] txt2img graph compiled in {time.time() - t0:.0f}s")
