@@ -111,7 +111,15 @@ class RunSpec:
                 "cond_stage num_embeds_per_token must match "
                 "personalization num_embeds_per_token — aigc_id.yaml:90")
         if self.basis.n_components > self.basis.n_samples - 1:
-            raise ValueError("n_components should be <= n_samples-1")
+            # the reference SHIPS a violating config (aigc_id_infer.yaml:
+            # n_components 425, n_samples 385) — n_samples only matters in
+            # use_sample_reduce basis builds, and inference loads the basis
+            # from disk.  Warn instead of refusing the reference's own file.
+            import warnings
+            warnings.warn(
+                f"n_components ({self.basis.n_components}) > n_samples-1 "
+                f"({self.basis.n_samples - 1}): fine when loading a saved "
+                "basis; a sample-reduce build would fail")
         if self.test_mode not in ("coefficient", "embedding", "image"):
             raise ValueError(f"unknown test_mode {self.test_mode!r}")
         if len(self.initializer_words) not in (0, self.max_ids):
@@ -202,7 +210,10 @@ def run_spec_from_config(cfg: Dict) -> RunSpec:
                                          ("sks", "ks", "ata", "tre", "ry",
                                           "bop", "rn", "&", "*", "`"))),
         initializer_words=tuple(pp.get("initializer_words", ())),
-        max_ids=pp.get("max_ids", 10),
+        # the reference's Id-configs call this num_ids; TI configs have
+        # neither -> one slot per placeholder string
+        max_ids=pp.get("max_ids", pp.get(
+            "num_ids", len(pp.get("placeholder_strings", (0,) * 10)))),
         num_embeds_per_token=pp.get("num_embeds_per_token", 2),
         meta_mlp_depth=pp.get("meta_mlp_depth", 1),
         meta_inner_dim=pp.get("meta_inner_dim", 512),

@@ -47,3 +47,22 @@ def test_log_txt_as_img():
     out = log_txt_as_img((64, 32), ["hello world", "second caption"])
     assert out.shape == (2, 32, 64, 3)
     assert out.min() >= -1 and out.max() <= 1
+
+
+def test_all_reference_configs_parse():
+    """Every SD config the reference ships must load through our parser —
+    including aigc_id_infer.yaml, which violates the reference's own
+    commented n_components<=n_samples-1 rule (fine: inference loads the
+    basis from disk), and the TI configs (1 placeholder, num_ids absent)."""
+    import glob
+    import warnings
+    from celebbasis_tpu.utils.config import load_run_spec
+    files = sorted(glob.glob(
+        "/root/reference/configs/stable-diffusion/*.yaml"))
+    assert len(files) >= 7
+    for f in files:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            spec = load_run_spec([f])
+        assert spec.meta_inner_dim > 0
+        assert len(spec.initializer_words) in (0, spec.max_ids)
