@@ -70,11 +70,20 @@ def _whitespace_clean(text: str) -> str:
 
 
 class SyntheticVocab:
-    """Deterministic merge-free fallback vocab (offline environments).
+    """Deterministic whole-word fallback vocab (offline environments).
 
-    Layout mirrors CLIP: char tokens, then ``</w>`` char tokens, then (no)
-    merges, then SOT/EOT last — so special ids sit at ``size-2``/``size-1``
-    like the real 49406/49407 when ``size=49408``.
+    Layout mirrors CLIP: char tokens, then ``</w>`` char tokens, then a
+    *filler* region, then SOT/EOT last — so special ids sit at
+    ``size-2``/``size-1`` like the real 49406/49407 when ``size=49408``.
+
+    The filler region is a deterministic word-token space: every word is
+    registered as ONE token (slot = sha1(word) mod n_filler, linear probing).
+    This keeps the reference's single-token placeholder contract
+    (`/root/reference/ldm/modules/embedding_manager.py:13-21`) intact
+    offline — 'sks' is one token, and injection can never fire on
+    sub-tokens inside ordinary words.  Canonical words (placeholders + the
+    celeb-name files) are pre-registered at construction in a fixed order
+    so token ids are stable across processes (train CLI ↔ inference CLI).
     """
 
     def __init__(self, size: int = 49408):
@@ -83,10 +92,11 @@ class SyntheticVocab:
                              "(512 byte tokens + SOT/EOT)")
         byte_vocab = list(bytes_to_unicode().values())
         tokens = byte_vocab + [c + "</w>" for c in byte_vocab]
-        n_filler = size - len(tokens) - 2
-        tokens += [f"<unused{i}>" for i in range(n_filler)]
-        tokens += [SOT, EOT]
+        self.filler_base = len(tokens)                      # 512
+        self.n_filler = size - len(tokens) - 2
         self.encoder = {tok: i for i, tok in enumerate(tokens)}
+        self.encoder[SOT] = size - 2
+        self.encoder[EOT] = size - 1
         self.bpe_ranks: Dict[Tuple[str, str], int] = {}
 
 
@@ -106,6 +116,11 @@ class CLIPTokenizer:
         self.eot_id = self.encoder[EOT]
         self.is_synthetic = False  # set by CLIPTokenizer.synthetic()
         self._cache: Dict[str, List[str]] = {SOT: [SOT], EOT: [EOT]}
+        # synthetic-vocab word registry (set up by .synthetic())
+        self._filler_base = 0
+        self._n_filler = 0
+        self._declared_size = len(self.encoder)
+        self._filler_owner: Dict[int, str] = {}
 
     # -- constructors -----------------------------------------------------
     @classmethod
@@ -149,11 +164,55 @@ class CLIPTokenizer:
         return cls(encoder, ranks, max_length)
 
     @classmethod
-    def synthetic(cls, size: int = 49408, max_length: int = 77) -> "CLIPTokenizer":
+    def synthetic(cls, size: int = 49408, max_length: int = 77,
+                  prime_words: Sequence[str] | None = None) -> "CLIPTokenizer":
         sv = SyntheticVocab(size)
         tok = cls(sv.encoder, sv.bpe_ranks, max_length)
         tok.is_synthetic = True
+        tok._filler_base = sv.filler_base
+        tok._n_filler = sv.n_filler
+        tok._declared_size = size
+        words = (_canonical_prime_words() if prime_words is None
+                 else list(prime_words))
+        for w in words:
+            tok._register_words(w)
         return tok
+
+    # -- synthetic-vocab word registry -------------------------------------
+    def _register_words(self, text: str) -> None:
+        """Register every word of ``text`` as a whole token (best effort)."""
+        text = _whitespace_clean(_basic_clean(text)).lower()
+        for w in _TOKEN_PAT.findall(text):
+            wtok = ("".join(self.byte_encoder[b] for b in w.encode("utf-8"))
+                    + "</w>")
+            self._word_id(wtok)
+
+    def _word_id(self, wtok: str) -> int | None:
+        """Id of a byte-encoded word token ``…</w>`` under the synthetic
+        vocab, registering it into the filler space if new.  Slot choice is
+        sha1-deterministic (linear probing on collision) so the same word
+        gets the same id in every process.  Returns None when the filler
+        space is exhausted (caller falls back to per-char tokens)."""
+        cached = self.encoder.get(wtok)
+        if cached is not None:
+            return cached
+        if self._n_filler <= 0:
+            return None
+        import hashlib
+        h = int.from_bytes(hashlib.sha1(wtok.encode("utf-8")).digest()[:8],
+                           "big")
+        for step in range(self._n_filler):
+            slot = (h + step) % self._n_filler
+            owner = self._filler_owner.get(slot)
+            if owner is None:
+                self._filler_owner[slot] = wtok
+                tid = self._filler_base + slot
+                self.encoder[wtok] = tid
+                self.decoder[tid] = wtok
+                return tid
+            if owner == wtok:   # pragma: no cover — encoder hit above
+                return self._filler_base + slot
+        return None
 
     # -- BPE core ---------------------------------------------------------
     def _bpe(self, token: str) -> List[str]:
@@ -200,6 +259,11 @@ class CLIPTokenizer:
         ids: List[int] = []
         for tok in _TOKEN_PAT.findall(text):
             tok_bytes = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            if self.is_synthetic:
+                wid = self._word_id(tok_bytes + "</w>")
+                if wid is not None:
+                    ids.append(wid)
+                    continue   # whole-word token (single-token contract)
             for sub in self._bpe(tok_bytes):
                 ids.append(self.encoder[sub])
         return ids
@@ -235,7 +299,36 @@ class CLIPTokenizer:
 
     @property
     def vocab_size(self) -> int:
-        return len(self.encoder)
+        # synthetic word registration aliases filler ids with word strings in
+        # the encoder dict; the embedding-table size is the declared layout
+        return self._declared_size if self.is_synthetic else len(self.encoder)
+
+
+# Canonical placeholder pseudo-words (same set as data.face_id's
+# PLACEHOLDER_STRINGS / reference aigc_id.yaml placeholder list) — primed
+# into every synthetic vocab so they are single tokens with stable ids.
+PLACEHOLDER_WORDS: Tuple[str, ...] = ("sks", "ks", "ata", "tre", "ry",
+                                      "bop", "rn", "&", "*", "`")
+
+
+@lru_cache()
+def _canonical_prime_words() -> Tuple[str, ...]:
+    """Deterministic word list pre-registered into synthetic vocabs.
+
+    Placeholders first (must always win a slot), then every word of the
+    shipped celeb-name files — so the offline basis builder and both CLIs
+    see identical token ids.  Sorted file order keeps it stable.
+    """
+    words: List[str] = list(PLACEHOLDER_WORDS)
+    root = os.path.normpath(os.path.join(os.path.dirname(__file__),
+                                         "..", "..", "infer_images"))
+    for fname in ("wiki_names_v2.txt", "celebs.txt", "names.txt"):
+        path = os.path.join(root, fname)
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                words.extend(sorted({w for line in f
+                                     for w in line.strip().lower().split()}))
+    return tuple(words)
 
 
 def token_for_string(tokenizer: CLIPTokenizer, s: str) -> int:
@@ -244,24 +337,17 @@ def token_for_string(tokenizer: CLIPTokenizer, s: str) -> int:
     The reference's ``get_clip_token_for_string`` asserts the word maps to
     exactly one token (embedding_manager.py:13-21); a multi-token placeholder
     would make injection match a *sub*-token anywhere it appears (e.g. the
-    's' inside 'person'), silently corrupting conditioning.  Under the
-    synthetic-vocab fallback (where merges are absent and most words are
-    multi-token) we warn loudly instead of failing, since it only exists for
-    weightless dev/test runs.
+    's' inside 'person'), silently corrupting conditioning.  The synthetic
+    vocab registers whole words as single tokens, so it satisfies the same
+    contract; a violation (filler space exhausted) raises just like a
+    multi-token word under the real vocab.
     """
     ids = tokenizer.tokenize(s)
     if len(ids) != 1:
-        if getattr(tokenizer, "is_synthetic", False):
-            import warnings
-            warnings.warn(
-                f"placeholder {s!r} is {len(ids)} tokens under the synthetic "
-                f"vocab; using the first — injection may match sub-tokens in "
-                f"other words. Load the real CLIP vocab for correct behavior.")
-        else:
-            raise ValueError(
-                f"placeholder string {s!r} maps to {len(ids)} tokens; "
-                f"placeholders must be single-token words "
-                f"(reference get_clip_token_for_string contract)")
+        raise ValueError(
+            f"placeholder string {s!r} maps to {len(ids)} tokens; "
+            f"placeholders must be single-token words "
+            f"(reference get_clip_token_for_string contract)")
     return ids[0]
 
 

@@ -161,17 +161,17 @@ def test_coefficient_reg_loss_matches_torch_norm(loss_type, p):
 # -- placeholder single-token contract -----------------------------------------
 
 def test_token_for_string_contract():
+    # synthetic vocab registers whole words -> single-token contract holds
     tok = CLIPTokenizer.synthetic(size=1024)
-    with pytest.warns(UserWarning, match="synthetic"):
-        token_for_string(tok, "sks")      # multi-token under synthetic vocab
-    tok.is_synthetic = False              # emulate a real vocab
+    assert token_for_string(tok, "sks") == tok.tokenize("sks")[0]
+    # a real (merge-free) vocab leaves 'sks' multi-token -> hard error
+    tok2 = CLIPTokenizer.synthetic(size=1024)
+    tok2.is_synthetic = False             # emulate a real vocab w/o merges
     with pytest.raises(ValueError, match="single-token"):
-        token_for_string(tok, "sks")
-    # a genuinely single-token word passes either way
-    single = tok.decode([5]) or "a"
-    ids = tok.tokenize("a")
+        token_for_string(tok2, "sks")
+    ids = tok2.tokenize("a")
     if len(ids) == 1:
-        assert token_for_string(tok, "a") == ids[0]
+        assert token_for_string(tok2, "a") == ids[0]
 
 
 # -- meanface empty-reverse-list guard ------------------------------------------

@@ -73,3 +73,53 @@ def test_decode_roundtrip(mini_vocab):
     tok = CLIPTokenizer.load(str(mini_vocab))
     s = "a photo of a sks person"
     assert tok.decode(tok([s])[0]) == s
+
+
+# -- offline single-token placeholder contract (VERDICT r2 #1) ---------------
+
+def test_synthetic_placeholders_single_token():
+    """Every placeholder is ONE token under the default (synthetic) tokenizer
+    — the reference's get_clip_token_for_string contract
+    (embedding_manager.py:13-21) must hold offline too."""
+    from celebbasis_tpu.text.tokenizer import (PLACEHOLDER_WORDS,
+                                               token_for_string)
+    tok = CLIPTokenizer.synthetic()
+    for s in PLACEHOLDER_WORDS:
+        ids = tok.tokenize(s)
+        assert len(ids) == 1, (s, ids)
+        assert token_for_string(tok, s) == ids[0]
+
+
+def test_synthetic_no_subtoken_collisions():
+    """Placeholder ids never appear inside the tokenization of ordinary
+    words — injection cannot fire on sub-tokens (e.g. 'ks' inside 'person'
+    or 'sks' inside 'whiskers')."""
+    from celebbasis_tpu.text.tokenizer import PLACEHOLDER_WORDS, token_for_string
+    tok = CLIPTokenizer.synthetic()
+    ph_ids = {token_for_string(tok, s) for s in PLACEHOLDER_WORDS}
+    prose = ("a photo of a person wearing dark glasses, whiskers and tresses, "
+             "born in rya bopper barn style, ultra-detailed portrait")
+    ids = set(tok.tokenize(prose))
+    assert not (ph_ids & ids)
+
+
+def test_synthetic_ids_stable_across_instances():
+    """Word-token ids are process-independent: two fresh synthetic vocabs
+    assign identical ids to canonical and on-demand words."""
+    a = CLIPTokenizer.synthetic()
+    b = CLIPTokenizer.synthetic()
+    for text in ["face of sks person", "a photo of rihanna and a ks person",
+                 "brad pitt riding a horse"]:
+        np.testing.assert_array_equal(a([text]), b([text]))
+
+
+def test_synthetic_small_vocab_placeholders_survive_overflow():
+    """Even when the filler space overflows (tiny 1024 vocab vs ~1k primed
+    name words), placeholders are registered first and stay single-token;
+    overflow words fall back to byte tokens below the filler base, so they
+    can never alias a placeholder id."""
+    tok = CLIPTokenizer.synthetic(size=1024)
+    from celebbasis_tpu.text.tokenizer import PLACEHOLDER_WORDS
+    for s in PLACEHOLDER_WORDS:
+        assert len(tok.tokenize(s)) == 1
+    assert all(i < tok.vocab_size for i in tok.tokenize("some spilled words"))
