@@ -126,12 +126,20 @@ def main(argv=None):
         except (ValueError, FileNotFoundError) as e:
             print(f"[train] no validation data ({e})")
 
-    trainable, meta_frozen = tstep.split_meta_params(asm.meta_params)
+    meta_trainable, meta_frozen = tstep.split_meta_params(asm.meta_params)
     spec.trainer.unfreeze_model = spec.unfreeze_model
     spec.trainer.model_lr = spec.model_lr
     if spec.unfreeze_model:
         print(f"[train] UNet unfrozen (model_lr={spec.model_lr})")
-        trainable = {"meta": trainable, "unet": asm.params["unet"]}
+    gnet_params = None
+    if spec.trainer.loss_type == "contra":
+        # the contra g-net trains alongside the MLP (embedding_manager.py:432-436)
+        gnet_params = tstep.init_gnet_params(asm.pipeline,
+                                             jax.random.key(args.seed + 7))
+    trainable = tstep.build_trainable(
+        meta_trainable,
+        unet_params=asm.params["unet"] if spec.unfreeze_model else None,
+        gnet_params=gnet_params)
     frozen = {"unet": asm.params["unet"], "vae": asm.params["vae"],
               "clip": asm.params["clip"], "meta_frozen": meta_frozen}
 

@@ -21,6 +21,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+import numpy as np
 
 from celebbasis_tpu.ops.basic import l2_normalize
 
@@ -30,10 +31,21 @@ from celebbasis_tpu.ops.basic import l2_normalize
 class MarginHead(nn.Module):
     """Normalized-weight classification head producing margin-adjusted logits.
 
-    kind: 'am_cosface' (cos θ_y - m), 'am_arcface' (cos(θ_y + m)),
-          'softmax' (plain W·x + b).
-    The 'a'/'k' knobs reproduce the reference's adaptive variants
-    (margin_losses.py AMCosFace/AMArcFace signatures).
+    Exact math of the reference's five heads
+    (`/root/reference/ldm/modules/id_embedding/margin_losses.py`):
+
+    * 'softmax'    — plain ``W·x + b`` (:18-69);
+    * 'cosface'    — target logit ``cosθ - m`` (:146-203, "Not Used");
+    * 'arcface'    — target ``cosθ·cos m - sinθ·sin m`` with the
+      easy-margin / ``θ > π - m`` numerical guard (:73-143, "Not Used");
+    * 'am_cosface' — adaptive ``cosθ - m + k(θ - a)`` (:203-318; k=0
+      degenerates to CosFace);
+    * 'am_arcface' — adaptive ``cos(θ + m - k(θ - a))`` (:318-461; k=0
+      degenerates to ArcFace without the guard).
+
+    ``label == -1`` rows receive no margin (the reference's PartialFC
+    convention).  Defaults keep a=k=0 (plain margins) — the reference's
+    adaptive defaults are (a=1.2, k=0.1).
     """
     num_classes: int
     kind: str = "am_cosface"
@@ -41,6 +53,7 @@ class MarginHead(nn.Module):
     s: float = 64.0
     a: float = 0.0
     k: float = 0.0
+    easy_margin: bool = False
 
     @nn.compact
     def __call__(self, feats: jax.Array, labels: Optional[jax.Array] = None
@@ -57,12 +70,26 @@ class MarginHead(nn.Module):
         cos = jnp.clip(x @ wn.T, -1.0, 1.0)
         if labels is None:
             return self.s * cos
-        onehot = jax.nn.one_hot(labels, self.num_classes)
-        if self.kind == "am_cosface":
-            target = cos - self.m + self.a * (1 - cos) ** self.k
+        valid = labels >= 0                            # PartialFC -1 rows
+        onehot = jax.nn.one_hot(jnp.maximum(labels, 0), self.num_classes)
+        onehot = onehot * valid[:, None]
+        theta_t = jnp.arccos(jnp.clip((cos * onehot).sum(-1), -1.0, 1.0))
+        if self.kind == "cosface":
+            target = cos - self.m
+        elif self.kind == "am_cosface":
+            target = cos - self.m + (self.k * (theta_t - self.a))[:, None]
+        elif self.kind == "arcface":
+            sin = jnp.sqrt(jnp.clip(1.0 - cos ** 2, 0.0, 1.0))
+            phi = cos * np.cos(self.m) - sin * np.sin(self.m)
+            if self.easy_margin:
+                target = jnp.where(cos > 0, phi, cos)
+            else:
+                target = jnp.where(cos > np.cos(np.pi - self.m), phi,
+                                   cos - np.sin(np.pi - self.m) * self.m)
         elif self.kind == "am_arcface":
             theta = jnp.arccos(cos)
-            target = jnp.cos(theta + self.m) + self.a * theta ** self.k
+            m_eff = self.m - self.k * (theta_t - self.a)
+            target = jnp.cos(theta + m_eff[..., None])
         else:
             raise ValueError(f"unknown margin head {self.kind!r}")
         return self.s * jnp.where(onehot > 0, target, cos)
@@ -90,19 +117,26 @@ def info_nce_loss(z_feats: jax.Array, temperature: float = 0.07) -> jax.Array:
     contrastive_loss.py:34-51."""
     k = z_feats.shape[0]
     cos = l2_normalize(z_feats) @ l2_normalize(z_feats).T
-    self_mask = jnp.eye(k, dtype=bool)
+    # static (host) masks: concrete under jit tracing
+    self_mask = np.eye(k, dtype=bool)
     cos = jnp.where(self_mask, -9e15, cos) / temperature
-    pos = jnp.roll(jnp.eye(k), k // 2, axis=0).astype(bool)
+    pos = np.roll(np.eye(k, dtype=bool), k // 2, axis=0)
     nll = -cos[pos] + jax.nn.logsumexp(cos, axis=-1)
     return nll.mean()
 
 
 def contrastive_loss(gnet: ContrastiveGNet, gnet_params, metas: jax.Array,
                      temperature: float = 0.07) -> jax.Array:
-    """metas: (N, id_cnt, D) -> scalar (batched InfoNCE through the g-net)."""
+    """metas: (N, id_cnt, D) -> scalar InfoNCE through the g-net.
+
+    Reference quirk replicated: the per-example loop overwrites ``nll``
+    each iteration (``nll = ...`` not ``+=``, contrastive_loss.py:30-51),
+    so only the LAST example's InfoNCE reaches the loss.  We match that
+    exactly for oracle parity (the intended accumulation survives only as
+    a commented-out line in the reference)."""
     N, k, D = metas.shape
     z = gnet.apply(gnet_params, metas.reshape(N * k, D)).reshape(N, k, -1)
-    return jax.vmap(lambda zz: info_nce_loss(zz, temperature))(z).mean()
+    return info_nce_loss(z[-1], temperature)
 
 
 # -- EMA (LitEma parity) -----------------------------------------------------

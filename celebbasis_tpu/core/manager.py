@@ -187,17 +187,68 @@ def coefficient_reg_loss(loss_type: str, coeff: jax.Array) -> jax.Array:
 
 def cosine_id_loss(meta1: jax.Array, meta2s: Sequence[jax.Array],
                    meta3: jax.Array) -> jax.Array:
-    """same-id attract / diff-id repel cosine loss (embedding_manager.py:500-505)."""
+    """same-id attract / diff-id repel cosine loss (embedding_manager.py:500-505).
+
+    Matches ``torch.cosine_similarity(a, b)`` exactly: reduction over
+    **dim=1** (the es·h axis of (N, es·h, D) metas, giving (N, D) maps),
+    eps 1e-8 applied per-operand norm, then a global mean."""
     def cos(a, b):
-        a = a.reshape(a.shape[0], -1)
-        b = b.reshape(b.shape[0], -1)
-        num = (a * b).sum(-1)
-        return num / (jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
-                      + 1e-8)
+        num = (a * b).sum(axis=1)
+        na = jnp.maximum(jnp.linalg.norm(a, axis=1), 1e-8)
+        nb = jnp.maximum(jnp.linalg.norm(b, axis=1), 1e-8)
+        return num / (na * nb)
     loss = 1 - cos(meta1, meta3)
     for m2 in meta2s:
         loss = loss + cos(meta1, m2)
     return loss.mean()
+
+
+VALID_LOSS_TYPES = ("none", "l1_reg", "l2_reg", "cosine", "contra")
+
+
+def id_neg_loss(loss_type: str, metas: jax.Array, cefs: jax.Array,
+                gnet=None, gnet_params=None):
+    """The reference's ``_calc_id_neg_loss`` (embedding_manager.py:492-529)
+    as a pure function, added into ``p_losses`` (ddpm.py:1112-1114).
+
+    metas: (B, k, es*h, D) per-face-slot meta embeddings (slot-major list in
+    the reference); cefs: (B, k, es, h, inner) coefficients.
+
+    Semantics pinned to the reference's final sum
+    ``loss_cosine*0 + loss_cls*0 + loss_reg*1 + loss_contra*1``:
+    - 'cosine' is COMPUTED and logged but weighted 0 — that ×0 is the
+      reference's own behavior (embedding_manager.py:529), not an omission;
+    - 'l1_reg'/'l2_reg' regularize the coefficients (weight 1e-6);
+    - 'contra' adds 1e-2 × InfoNCE through the trainable g-net; per-face
+      features are the flattened (es·h·D) meta (the reference module's
+      (N,768) contract generalized — its code only executes for 2-D metas,
+      contrastive_loss.py:22-26).  Note InfoNCE is identically 0 at k=2
+      face slots (the sole candidate is the positive) — true of the
+      reference layout with diff_cnt=0 as well; use diff_cnt>0 for a
+      live contra signal.
+    Returns (loss, logs).
+    """
+    if loss_type not in VALID_LOSS_TYPES:
+        raise ValueError(f"unknown loss_type {loss_type!r}; "
+                         f"expected one of {VALID_LOSS_TYPES}")
+    B, k = metas.shape[:2]
+    logs = {}
+    loss = coefficient_reg_loss(loss_type, cefs.reshape((-1,) + cefs.shape[2:]))
+    logs["loss_reg"] = loss
+    if loss_type == "cosine":
+        meta1, meta3 = metas[:, 0], metas[:, -1]
+        meta2s = [metas[:, i] for i in range(1, k - 1)]
+        logs["loss_cosine"] = cosine_id_loss(meta1, meta2s, meta3)
+        loss = loss + 0.0 * logs["loss_cosine"]   # reference ×0 weight
+    if loss_type == "contra":
+        from celebbasis_tpu.core.losses import contrastive_loss
+        assert gnet is not None and gnet_params is not None, \
+            "loss_type='contra' needs the trainable g-net"
+        contra = contrastive_loss(gnet, gnet_params,
+                                  metas.reshape(B, k, -1)) * 1e-2
+        logs["loss_contra"] = contra
+        loss = loss + contra
+    return loss, logs
 
 
 # -- checkpoint interop -----------------------------------------------------

@@ -54,6 +54,32 @@ def merge_meta_params(trainable: Dict, frozen: Dict) -> Dict:
     return {"params": {**trainable["params"], **frozen["params"]}}
 
 
+def make_gnet(pipeline):
+    """The contra head's trainable g-net (reference ContrastiveLoss.g_net,
+    contrastive_loss.py:12-15; in the optimizer per embedding_manager.py:432-436)."""
+    from celebbasis_tpu.core.losses import ContrastiveGNet
+    return ContrastiveGNet(meta_dim=pipeline.cfg.clip.width)
+
+
+def init_gnet_params(pipeline, rng: jax.Array):
+    feat = pipeline.manager_cfg.reps * pipeline.cfg.clip.width
+    return make_gnet(pipeline).init(rng, jnp.zeros((1, feat)))
+
+
+def build_trainable(meta_trainable, unet_params=None, gnet_params=None):
+    """Assemble the trainable pytree: the bare MetaIdNet subtree when nothing
+    else trains, else a keyed dict {"meta", "unet"?, "gnet"?} (the reference's
+    embedding_params + model_params groups, ddpm.py:1442-1466)."""
+    if unet_params is None and gnet_params is None:
+        return meta_trainable
+    out = {"meta": meta_trainable}
+    if unet_params is not None:
+        out["unet"] = unet_params
+    if gnet_params is not None:
+        out["gnet"] = gnet_params
+    return out
+
+
 def make_optimizer(lr: float = 1e-2,
                    model_lr: Optional[float] = None,
                    accumulate: int = 1) -> optax.GradientTransformation:
@@ -74,9 +100,12 @@ def make_optimizer(lr: float = 1e-2,
     if model_lr is None:
         opt = optax.adamw(lr)
     else:
+        # the contra g-net (if present) rides in the embedding-params group
+        # at the base lr, like the reference (ddpm.py:1446-1452)
         opt = optax.multi_transform(
             {"meta": optax.adamw(lr), "unet": optax.adamw(model_lr)},
-            param_labels=lambda params: {k: k for k in params})
+            param_labels=lambda params: {
+                k: ("unet" if k == "unet" else "meta") for k in params})
     if accumulate > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=accumulate)
     return opt
@@ -92,14 +121,19 @@ def make_loss_fn(pipeline, meta_net: MetaIdNet, loss_type: str = "none",
     faces (B,k,Hf,Wf,3); ids (B,k) int32; num_ids (B,) int32.
     frozen: {"unet","vae","clip","meta_frozen"}.
     """
+    if loss_type not in mgr.VALID_LOSS_TYPES:   # never a silent no-op
+        raise ValueError(f"unknown loss_type {loss_type!r}; "
+                         f"expected one of {mgr.VALID_LOSS_TYPES}")
     sched = ddpm.ScheduleArrays.from_schedule(pipeline.schedule)
     m_cfg = pipeline.manager_cfg
     scale = pipeline.cfg.scale_factor
     T = pipeline.cfg.timesteps
+    gnet = make_gnet(pipeline) if loss_type == "contra" else None
+    keyed = train_unet or gnet is not None
 
     def loss_fn(trainable, frozen, manager_state, basis, batch, rng):
         rng_z, rng_t, rng_eps = jax.random.split(rng, 3)
-        meta_trainable = trainable["meta"] if train_unet else trainable
+        meta_trainable = trainable["meta"] if keyed else trainable
         unet_params = trainable["unet"] if train_unet else frozen["unet"]
         # 1. frozen VAE encode + posterior sample (ddpm.py:702-759)
         mean, logvar = pipeline.vae.apply(frozen["vae"], batch["image"],
@@ -126,10 +160,12 @@ def make_loss_fn(pipeline, meta_net: MetaIdNet, loss_type: str = "none",
         # 4. UNet eps prediction + loss (frozen unless train_unet)
         eps_pred = pipeline.unet.apply(unet_params, z_t, t, context)
         loss, logs = ddpm.eps_mse_loss(eps_pred, noise)
-        reg = mgr.coefficient_reg_loss(
-            loss_type, pred_coeff.reshape((-1,) + pred_coeff.shape[2:]))
-        loss = loss + reg
-        logs["loss_reg"] = reg
+        # 5. embedding_neg_loss (ddpm.py:1112-1114, embedding_manager.py:492-529)
+        neg, neg_logs = mgr.id_neg_loss(loss_type, pred_z, pred_coeff,
+                                        gnet, trainable.get("gnet")
+                                        if keyed else None)
+        loss = loss + neg
+        logs.update(neg_logs)
         return loss, (new_mstate, logs)
 
     return loss_fn
@@ -204,20 +240,25 @@ def make_cached_loss_fn(pipeline, meta_net: MetaIdNet,
     batch: latent_mean/latent_logvar (B,h,w,4); fr_feats (B,k,fr_dim);
     tokens (B,77); ids (B,k); num_ids (B,).
     """
+    if loss_type not in mgr.VALID_LOSS_TYPES:   # never a silent no-op
+        raise ValueError(f"unknown loss_type {loss_type!r}; "
+                         f"expected one of {mgr.VALID_LOSS_TYPES}")
     sched = ddpm.ScheduleArrays.from_schedule(pipeline.schedule)
     m_cfg = pipeline.manager_cfg
     scale = pipeline.cfg.scale_factor
     T = pipeline.cfg.timesteps
+    gnet = make_gnet(pipeline) if loss_type == "contra" else None
 
     def loss_fn(trainable, frozen, manager_state, basis, batch, rng):
         rng_z, rng_t, rng_eps = jax.random.split(rng, 3)
+        meta_trainable = trainable["meta"] if gnet is not None else trainable
         z0 = sample_posterior(rng_z, batch["latent_mean"],
                               batch["latent_logvar"]) * scale
         B = z0.shape[0]
         t = jax.random.randint(rng_t, (B,), 0, T)
         noise = jax.random.normal(rng_eps, z0.shape)
         z_t = ddpm.q_sample(sched, z0, t, noise)
-        meta_params = merge_meta_params(trainable, frozen["meta_frozen"])
+        meta_params = merge_meta_params(meta_trainable, frozen["meta_frozen"])
         k = batch["fr_feats"].shape[1]
         v = batch["fr_feats"].reshape(-1, batch["fr_feats"].shape[-1])
         z, coeff = meta_net.apply(meta_params, v, basis,
@@ -233,10 +274,11 @@ def make_cached_loss_fn(pipeline, meta_net: MetaIdNet,
                                       method=CLIPTextEncoder.encode)
         eps_pred = pipeline.unet.apply(frozen["unet"], z_t, t, context)
         loss, logs = ddpm.eps_mse_loss(eps_pred, noise)
-        reg = mgr.coefficient_reg_loss(
-            loss_type, pred_coeff.reshape((-1,) + pred_coeff.shape[2:]))
-        logs["loss_reg"] = reg
-        return loss + reg, (new_mstate, logs)
+        neg, neg_logs = mgr.id_neg_loss(loss_type, pred_z, pred_coeff,
+                                        gnet, trainable.get("gnet")
+                                        if gnet is not None else None)
+        logs.update(neg_logs)
+        return loss + neg, (new_mstate, logs)
 
     return loss_fn
 
