@@ -116,6 +116,28 @@ class Profiler:
             self._on = False
 
 
+class ModeSwap:
+    """Mid-run frozen→unfrozen optimizer swap (the reference's
+    ModeSwapCallback, main_id_embed.py:473-487): until ``swap_step`` only the
+    embedding MLP trains; from ``swap_step`` on, the trainer switches to the
+    two-group optimizer with the UNet unfrozen at ``model_lr``
+    (ddpm.py:1449-1452).  Swaps at the step boundary (the reference swaps at
+    epoch start — same semantics under its step-sized epochs)."""
+
+    def __init__(self, swap_step: int, model_lr: float = 1.0e-6):
+        self.swap_step = swap_step
+        self.model_lr = model_lr
+        self._swapped = False
+
+    def on_step(self, step: int, trainer, state):
+        if self._swapped or step < self.swap_step:
+            return None
+        self._swapped = True
+        print(f"[ModeSwap] step {step}: unfreezing UNet "
+              f"(model_lr={self.model_lr})")
+        return trainer.unfreeze_unet(state, self.model_lr)
+
+
 class OrbaxResume:
     """Full TrainState save/restore for crash recovery."""
 

@@ -58,6 +58,8 @@ class TrainerConfig:
     log_every: int = 10
     seed: int = 23
     n_data_shards: int = 1
+    tensorboard: bool = False  # also emit a TB event stream (reference
+    #                            TestTube logger, main_id_embed.py:629-653)
 
 
 def make_run_dir(cfg: TrainerConfig, now: Optional[str] = None) -> str:
@@ -93,6 +95,10 @@ class Trainer:
         self.run_dir = run_dir or make_run_dir(cfg)
         self.mesh = mesh
         self.metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
+        self.tb = None
+        if cfg.tensorboard:
+            from celebbasis_tpu.utils.tb import TBWriter
+            self.tb = TBWriter(os.path.join(self.run_dir, "tensorboard"))
 
         lr = effective_lr(cfg)
         self.optimizer = tstep.make_optimizer(
@@ -118,6 +124,7 @@ class Trainer:
             pipeline, meta_net, loss_type=cfg.loss_type,
             train_unet=cfg.unfreeze_model, cached=self._eval_cached))
         self._cache = None
+        self._val_cache = None
 
         if cfg.frozen_bf16:
             # the frozen nets are read-only: bf16 storage halves their HBM
@@ -134,6 +141,42 @@ class Trainer:
             self.frozen = frozen_params
             self.basis = jnp.asarray(basis)
         self._interrupted = False
+
+    # -- mid-run optimizer swap (ModeSwapCallback parity) --------------------
+    def unfreeze_unet(self, state: tstep.TrainState,
+                      model_lr: float) -> tstep.TrainState:
+        """Swap to the two-group optimizer with the UNet unfrozen — the
+        reference's ModeSwapCallback → configure_opt_model path
+        (main_id_embed.py:473-487, ddpm.py:1449-1452).  Rebuilds the jitted
+        step/eval functions and returns the new TrainState (fresh optimizer
+        state, like the reference's new AdamW; step/rng/dictionaries kept).
+        """
+        cfg = self.cfg
+        assert cfg.cache_latents == 0, \
+            "mode swap needs the uncached path (the UNet must recompute)"
+        meta_trainable = (state.trainable["meta"]
+                          if isinstance(state.trainable, dict)
+                          and "meta" in state.trainable else state.trainable)
+        gnet = (state.trainable.get("gnet")
+                if isinstance(state.trainable, dict) else None)
+        # fresh buffers: the trainable UNet must not alias the (donated)
+        # frozen copy
+        unet = jax.tree.map(jnp.copy, self.frozen["unet"])
+        trainable = tstep.build_trainable(meta_trainable, unet_params=unet,
+                                          gnet_params=gnet)
+        cfg.unfreeze_model, cfg.model_lr = True, model_lr
+        self.optimizer = tstep.make_optimizer(effective_lr(cfg), model_lr,
+                                              accumulate=cfg.accumulate)
+        self.jit_step = jax.jit(
+            tstep.make_train_step(self.pipeline, self.meta_net,
+                                  self.optimizer, loss_type=cfg.loss_type,
+                                  train_unet=True), donate_argnums=(0,))
+        self.jit_eval = jax.jit(tstep.make_eval_step(
+            self.pipeline, self.meta_net, loss_type=cfg.loss_type,
+            train_unet=True))
+        return tstep.TrainState(state.step, trainable,
+                                self.optimizer.init(trainable),
+                                state.manager_state, state.rng)
 
     # -- checkpointing ("melk") --------------------------------------------
     def save(self, state: tstep.TrainState, tag: Optional[str] = None):
@@ -156,15 +199,37 @@ class Trainer:
         except (ValueError, OSError):  # non-main thread
             pass
 
+    # -- frozen-feature cache (fast-personalization mode) --------------------
+    def _build_cache(self) -> None:
+        """Precompute the training cache plus ``val_batches`` extra held-out
+        batches for cached-mode validation (so val never sees the exact
+        cached batches the steps cycle over)."""
+        cfg = self.cfg
+        n_val = self.val_batches if self._eval_cached else 0
+        print(f"[trainer] caching {cfg.cache_latents}+{n_val} augmented "
+              f"batches of frozen features")
+        cache = tstep.precompute_cache(
+            self.pipeline, self.meta_net,
+            self.frozen["meta_frozen"],  # fr_net lives in the frozen tree
+            self.frozen["vae"], self.loader, cfg.cache_latents + n_val)
+        if self.mesh is not None:
+            cache = [pmesh.shard_batch(b, self.mesh) for b in cache]
+        self._cache = cache[: cfg.cache_latents]
+        self._val_cache = cache[cfg.cache_latents:]
+
     # -- validation (reference Lightning val loop, ddpm.py:372-379) ---------
     def validate(self, state: tstep.TrainState) -> float:
         """Mean eps-MSE over a few val batches with a fixed rng; loss-only
         eval step — the dictionaries/optimizer are untouched and no state
         copy is made.  Note: without a separate ``val_loader`` this measures
         the loss under the *training* loader's augmentation, like the
-        reference (its val split reuses the train dataset, aigc_id.yaml)."""
-        if self._eval_cached and self._cache is not None:
-            val_batches = self._cache[: self.val_batches]
+        reference (its val split reuses the train dataset, aigc_id.yaml).
+        In cached mode the eval step consumes cached-schema batches: the
+        cache (with its held-out val tail) is built on demand here."""
+        if self._eval_cached:
+            if self._cache is None:
+                self._build_cache()
+            val_batches = self._val_cache or self._cache[: self.val_batches]
         else:
             val_batches = None
         losses = []
@@ -194,16 +259,7 @@ class Trainer:
         if cfg.cache_latents > 0 and self._cache is None:
             # fast-personalization mode: precompute frozen VAE posteriors +
             # FR features once; steps then cycle the cached batches
-            print(f"[trainer] caching {cfg.cache_latents} augmented batches "
-                  f"of frozen features")
-            self._cache = tstep.precompute_cache(
-                self.pipeline, self.meta_net,
-                self.frozen["meta_frozen"],  # fr_net lives in the frozen tree
-                self.frozen["vae"], self.loader, cfg.cache_latents)
-            if self.mesh is not None:
-                # shard the cached feature batches once, up front
-                self._cache = [pmesh.shard_batch(b, self.mesh)
-                               for b in self._cache]
+            self._build_cache()
 
         def batches():
             if self._cache is not None:
@@ -253,21 +309,36 @@ class Trainer:
                                "wall_s": time.perf_counter() - t_start}
                         log_f.write(json.dumps(rec) + "\n")
                         log_f.flush()
+                        if self.tb is not None:
+                            self.tb.add_scalar("train/loss", rec["loss"], step)
+                            self.tb.add_scalar("train/loss_simple",
+                                               rec["loss_simple"], step)
+                            self.tb.flush()
                     if step % cfg.ckpt_every == 0:
                         self.save(state)
-                    if (self.val_loader is not None
+                    if ((self.val_loader is not None or self._eval_cached)
                             and step % self.val_every == 0):
                         val = self.validate(current["state"])
                         log_f.write(json.dumps(
                             {"step": step, "val_loss_simple": val}) + "\n")
                         log_f.flush()
+                        if self.tb is not None:
+                            self.tb.add_scalar("val/loss_simple", val, step)
+                            self.tb.flush()
                     for cb in self.callbacks:
-                        cb.on_step(step, self, state)
+                        # a callback may transform the train state (ModeSwap
+                        # swaps the optimizer mid-run, main_id_embed.py:473-487)
+                        new_state = cb.on_step(step, self, current["state"])
+                        if new_state is not None:
+                            current["state"] = new_state
+                    state = current["state"]
         except KeyboardInterrupt:
             print("[trainer] interrupted — saving last checkpoint")
             self.save(current["state"], tag="embeddings_last.pt")
             raise
         finally:
             log_f.close()
+            if self.tb is not None:
+                self.tb.flush()
         self.save(current["state"])
         return current["state"]

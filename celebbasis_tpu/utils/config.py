@@ -202,6 +202,11 @@ def run_spec_from_config(cfg: Dict) -> RunSpec:
                             "every_n_train_steps", 200),
         batch_size=bs,
         base_lr=mp.get("base_learning_rate", 5.0e-3),
+        # the loss_type knob lives under personalization_config in the
+        # reference YAMLs; thread it into the train step too (it selects the
+        # embedding_neg_loss term, ddpm.py:1112-1114)
+        loss_type=pp.get("loss_type", "none"),
+        tensorboard=get(cfg, "lightning.tensorboard", False),
     )
     spec = RunSpec(
         unet=unet, vae=vae, clip=clip, basis=basis,

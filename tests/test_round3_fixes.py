@@ -1,0 +1,158 @@
+"""Round-3 hardening tests: cached-mode validation reachability
+(VERDICT r2 weak #3) and friends."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from celebbasis_tpu.core import manager as mgr
+from celebbasis_tpu.text.tokenizer import CLIPTokenizer
+
+
+def _tiny_assembly():
+    from celebbasis_tpu.core.basis import build_celeb_basis
+    from celebbasis_tpu.core.meta_net import MetaIdNet, MetaNetConfig
+    from celebbasis_tpu.pipeline import CelebBasisPipeline, PipelineConfig
+    from celebbasis_tpu.train import step as tstep
+
+    tok = CLIPTokenizer.synthetic(size=1024)
+    cfg = PipelineConfig.tiny()
+    pipe = CelebBasisPipeline(cfg, tok)
+    params = pipe.init_params(jax.random.key(0), image_size=32)
+    meta_cfg = MetaNetConfig.tiny()
+    meta_cfg = type(meta_cfg)(**{**meta_cfg.__dict__,
+                                 "inner_dim": cfg.basis.n_components,
+                                 "token_dim": cfg.clip.width})
+    meta = MetaIdNet(meta_cfg, dtype=jnp.float32)
+    fs = meta_cfg.face_size
+    basis0 = jnp.zeros((cfg.basis.num_embeds_per_token,
+                        1 + cfg.basis.n_components, cfg.clip.width))
+    meta_params = jax.jit(meta.init)(
+        jax.random.key(1), jnp.zeros((1, fs, fs, 3)),
+        jnp.zeros((1,), jnp.int32), basis0)
+    trainable, meta_frozen = tstep.split_meta_params(meta_params)
+    basis = jnp.asarray(build_celeb_basis(
+        ["Anne Hathaway", "Elon Musk"], tok, pipe.token_table(params),
+        cfg.basis))
+    frozen = {"unet": params["unet"], "vae": params["vae"],
+              "clip": params["clip"], "meta_frozen": meta_frozen}
+    rng = np.random.default_rng(0)
+    B, k = 2, 2
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "image": np.asarray(r.uniform(-1, 1, (B, 32, 32, 3)), np.float32),
+            "tokens": np.asarray(tok(["a photo of a sks person"] * B)),
+            "faces": np.asarray(r.uniform(-1, 1, (B, k, fs, fs, 3)),
+                                np.float32),
+            "ids": np.asarray([[0, 0], [0, 0]], np.int32),
+            "num_ids": np.ones((B,), np.int32),
+        }
+    return pipe, meta, trainable, frozen, basis, make_batch
+
+
+class _ListLoader:
+    """Re-iterable stand-in for PrefetchLoader."""
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def test_cached_mode_validation_runs_in_fit(tmp_path):
+    """fit() with cache_latents>0 and no val_loader must emit
+    val_loss_simple records (the cached eval step was unreachable before —
+    trainer.py r2 set _eval_cached only when fit never validated)."""
+    from celebbasis_tpu.train import step as tstep
+    from celebbasis_tpu.train.trainer import Trainer, TrainerConfig
+
+    pipe, meta, trainable, frozen, basis, make_batch = _tiny_assembly()
+    loader = _ListLoader([make_batch(s) for s in range(4)])
+    cfg = TrainerConfig(max_steps=3, ckpt_every=100, cache_latents=2,
+                        log_every=1, batch_size=2, tensorboard=True)
+    run_dir = str(tmp_path / "run")
+    for sub in ("checkpoints", "configs", "images"):
+        os.makedirs(os.path.join(run_dir, sub), exist_ok=True)
+    trainer = Trainer(pipe, meta, frozen, basis, loader, cfg,
+                      run_dir=run_dir, val_every=2, val_batches=2)
+    state = tstep.init_train_state(jax.random.key(3), trainable,
+                                   trainer.optimizer,
+                                   mgr.init_state(pipe.manager_cfg,
+                                                  jax.random.key(2)))
+    trainer.fit(state)
+    with open(trainer.metrics_path) as f:
+        recs = [json.loads(l) for l in f.read().strip().splitlines()]
+    vals = [r for r in recs if "val_loss_simple" in r]
+    assert vals, "cached-mode fit logged no validation records"
+    assert np.isfinite(vals[0]["val_loss_simple"])
+    # the val tail is held out from the training cache
+    assert trainer._val_cache and len(trainer._cache) == 2
+    # the TB event stream carries the same scalars (reference TestTube logger)
+    from celebbasis_tpu.utils import tb as tbmod
+    scalars = tbmod.read_scalars(trainer.tb.path)
+    assert any(t == "train/loss" for _, t, _v in scalars)
+    assert any(t == "val/loss_simple" for _, t, _v in scalars)
+
+
+def test_mode_swap_unfreezes_unet_at_step_k(tmp_path):
+    """ModeSwap parity (main_id_embed.py:473-487): UNet params move only
+    after the swap step."""
+    from celebbasis_tpu.train import step as tstep
+    from celebbasis_tpu.train.callbacks import ModeSwap
+    from celebbasis_tpu.train.trainer import Trainer, TrainerConfig
+
+    pipe, meta, trainable, frozen, basis, make_batch = _tiny_assembly()
+    loader = _ListLoader([make_batch(s) for s in range(4)])
+    cfg = TrainerConfig(max_steps=4, ckpt_every=100, log_every=1,
+                        batch_size=2, base_lr=1e-3)
+    run_dir = str(tmp_path / "run_swap")
+    for sub in ("checkpoints", "configs", "images"):
+        os.makedirs(os.path.join(run_dir, sub), exist_ok=True)
+    swap = ModeSwap(swap_step=2, model_lr=1e-3)
+    trainer = Trainer(pipe, meta, frozen, basis, loader, cfg,
+                      run_dir=run_dir, callbacks=[swap])
+    state = tstep.init_train_state(jax.random.key(3), trainable,
+                                   trainer.optimizer,
+                                   mgr.init_state(pipe.manager_cfg,
+                                                  jax.random.key(2)))
+    unet_before = jax.tree.map(np.asarray, frozen["unet"])
+    final = trainer.fit(state)
+    assert swap._swapped
+    assert isinstance(final.trainable, dict) and "unet" in final.trainable
+    # frozen copy untouched; trainable UNet moved after the swap
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+                 unet_before, frozen["unet"])
+    moved = sum(float(np.abs(np.asarray(a) - b).sum())
+                for a, b in zip(jax.tree_util.tree_leaves(
+                    final.trainable["unet"]),
+                    jax.tree_util.tree_leaves(unet_before)))
+    assert moved > 0, "UNet did not train after the swap"
+
+
+def test_cached_mode_external_validate_builds_cache(tmp_path):
+    """validate() before fit() must build the cache itself instead of
+    feeding raw-schema batches to the cached-schema loss (KeyError before)."""
+    from celebbasis_tpu.train import step as tstep
+    from celebbasis_tpu.train.trainer import Trainer, TrainerConfig
+
+    pipe, meta, trainable, frozen, basis, make_batch = _tiny_assembly()
+    loader = _ListLoader([make_batch(s) for s in range(3)])
+    cfg = TrainerConfig(max_steps=1, ckpt_every=100, cache_latents=1,
+                        batch_size=2)
+    run_dir = str(tmp_path / "run2")
+    for sub in ("checkpoints", "configs", "images"):
+        os.makedirs(os.path.join(run_dir, sub), exist_ok=True)
+    trainer = Trainer(pipe, meta, frozen, basis, loader, cfg,
+                      run_dir=run_dir, val_batches=1)
+    state = tstep.init_train_state(jax.random.key(3), trainable,
+                                   trainer.optimizer,
+                                   mgr.init_state(pipe.manager_cfg,
+                                                  jax.random.key(2)))
+    val = trainer.validate(state)       # must not KeyError
+    assert np.isfinite(val)
+    assert trainer._cache is not None
