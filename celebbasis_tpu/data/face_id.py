@@ -77,7 +77,41 @@ TEMPLATES_DUAL = [
     "a bright photo of a {} and a {}",
 ]
 
-PLACEHOLDER_STRINGS = ("sks", "ks", "ata", "tre", "ry", "bop", "rn", "&", "*", "`")
+# single-sourced with the tokenizer's primed pseudo-words (aigc_id.yaml list)
+from celebbasis_tpu.text.tokenizer import PLACEHOLDER_WORDS as PLACEHOLDER_STRINGS
+
+
+# -- torchvision-functional color ops (PIL backend) ---------------------------
+# Exact math of torchvision.transforms.functional's PIL path, which is what
+# the reference's ColorJitter executes (it runs before ToTensor,
+# reference face_id.py:526-532).
+
+def adjust_brightness(img: Image.Image, factor: float) -> Image.Image:
+    from PIL import ImageEnhance
+    return ImageEnhance.Brightness(img).enhance(factor)
+
+
+def adjust_contrast(img: Image.Image, factor: float) -> Image.Image:
+    from PIL import ImageEnhance
+    return ImageEnhance.Contrast(img).enhance(factor)
+
+
+def adjust_saturation(img: Image.Image, factor: float) -> Image.Image:
+    from PIL import ImageEnhance
+    return ImageEnhance.Color(img).enhance(factor)
+
+
+def adjust_hue(img: Image.Image, hue_factor: float) -> Image.Image:
+    """HSV round-trip with uint8 wraparound on the H channel — torchvision
+    F_pil.adjust_hue semantics (shift = trunc(hue_factor*255) mod 256)."""
+    if not -0.5 <= hue_factor <= 0.5:
+        raise ValueError(f"hue_factor {hue_factor} not in [-0.5, 0.5]")
+    h, s, v = img.convert("HSV").split()
+    np_h = np.asarray(h, np.uint8)
+    np_h = ((np_h.astype(np.int16) + int(hue_factor * 255)) % 256
+            ).astype(np.uint8)
+    return Image.merge("HSV", (Image.fromarray(np_h, "L"), s, v)
+                       ).convert("RGB")
 
 
 @dataclass
@@ -154,20 +188,40 @@ class FaceIdDataset:
         return self._length
 
     # -- augmentation -------------------------------------------------------
+    def _color_jitter(self, img: Image.Image) -> Image.Image:
+        """torchvision ``ColorJitter(brightness=(0.8,1.2), contrast=(0.8,1.2),
+        saturation=(0.8,1.2), hue=0.01)`` semantics on the PIL backend — the
+        backend the reference transform actually runs, since ColorJitter sits
+        before ToTensor (reference face_id.py:526-532): all four factors are
+        pre-sampled, then the ops apply in a random permutation
+        (torchvision ColorJitter.get_params)."""
+        fb = self.rng.uniform(0.8, 1.2)
+        fc = self.rng.uniform(0.8, 1.2)
+        fs = self.rng.uniform(0.8, 1.2)
+        fh = self.rng.uniform(-0.01, 0.01)
+        for idx in self.rng.permutation(4):
+            if idx == 0:
+                img = adjust_brightness(img, fb)
+            elif idx == 1:
+                img = adjust_contrast(img, fc)
+            elif idx == 2:
+                img = adjust_saturation(img, fs)
+            else:
+                img = adjust_hue(img, fh)
+        return img
+
     def _load_aug(self, id_idx: int, img_idx: int) -> np.ndarray:
         cfg = self.cfg
         img = Image.open(self.img_dict[id_idx]["images"][img_idx]).convert("RGB")
         if img.size != (cfg.image_size, cfg.image_size):
             img = img.resize((cfg.image_size, cfg.image_size), Image.BILINEAR)
-        arr = np.asarray(img, np.float32) / 255.0
+        # reference op order: Resize -> RandomHorizontalFlip -> ColorJitter
+        # -> ToTensor -> Normalize(.5,.5) (face_id.py:526-532)
         if self.rng.random() < cfg.flip_p:
-            arr = arr[:, ::-1]
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if cfg.split != "dev":
-            arr = arr * self.rng.uniform(0.8, 1.2)                     # brightness
-            arr = (arr - arr.mean()) * self.rng.uniform(0.8, 1.2) + arr.mean()  # contrast
-            gray = arr.mean(axis=-1, keepdims=True)
-            arr = gray + (arr - gray) * self.rng.uniform(0.8, 1.2)      # saturation
-            arr = np.clip(arr, 0.0, 1.0)
+            img = self._color_jitter(img)
+        arr = np.asarray(img, np.float32) / 255.0
         return arr * 2.0 - 1.0  # (H, W, 3) in [-1, 1]
 
     def _add_bg(self, img: np.ndarray, scale=(0.1, 1.0)) -> np.ndarray:
