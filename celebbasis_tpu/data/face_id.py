@@ -321,7 +321,15 @@ class PrefetchLoader:
 
     def __init__(self, dataset: FaceIdDataset, tokenizer, batch_size: int,
                  face_size: Optional[int] = None, shuffle: bool = True,
-                 prefetch: int = 4, seed: int = 0):
+                 prefetch: int = 4, seed: int = 0,
+                 shard_id: int = 0, num_shards: int = 1):
+        """``shard_id``/``num_shards``: per-host data sharding for multi-host
+        pods (SURVEY §2.5).  Every host shuffles the SAME global order (the
+        seed must match across hosts) and takes the ``shard_id``-th strided
+        slice, so hosts see disjoint examples; ``batch_size`` is the
+        per-host batch and the global batch is ``batch_size * num_shards``
+        (the mesh 'data' axis spans hosts).  Defaults are single-host."""
+        assert 0 <= shard_id < num_shards, (shard_id, num_shards)
         self.ds = dataset
         self.tokenizer = tokenizer
         self.bs = batch_size
@@ -329,6 +337,16 @@ class PrefetchLoader:
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+
+    @classmethod
+    def for_host(cls, dataset, tokenizer, batch_size, **kw):
+        """Shard by this JAX process (multi-host pods)."""
+        import jax
+        return cls(dataset, tokenizer, batch_size,
+                   shard_id=jax.process_index(),
+                   num_shards=jax.process_count(), **kw)
 
     def _resize_faces(self, faces: np.ndarray) -> np.ndarray:
         if self.face_size is None or faces.shape[1] == self.face_size:
@@ -355,6 +373,8 @@ class PrefetchLoader:
         order = np.arange(len(self.ds))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id::self.num_shards]
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 

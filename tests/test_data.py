@@ -184,3 +184,28 @@ def test_jitter_applied_in_train_not_dev(fake_ffhq):
                                   split="dev")
     dsd = FaceIdDataset(cfg_dev)
     np.testing.assert_array_equal(dsd[0]["image"], dsd[0]["image"])
+
+
+def test_loader_per_host_sharding(fake_ffhq):
+    """Multi-host data sharding (SURVEY §2.5): same seed -> same global
+    order; shards are disjoint and cover it."""
+    from celebbasis_tpu.data.face_id import PrefetchLoader
+    from celebbasis_tpu.text import CLIPTokenizer
+    tok = CLIPTokenizer.synthetic(size=1024)
+    cfg = FaceIdDatasetConfig(pickle_path=fake_ffhq, num_ids=2,
+                              image_size=32, repeats=8, flip_p=0.0,
+                              split="dev")
+    seen = []
+    for shard in range(2):
+        ds = FaceIdDataset(cfg)
+        loader = PrefetchLoader(ds, tok, batch_size=2, shuffle=True, seed=9,
+                                shard_id=shard, num_shards=2)
+        ids = [int(i) for b in loader for i in b["ids"][:, 0]]
+        seen.append(ids)
+    assert len(seen[0]) == len(seen[1]) == len(FaceIdDataset(cfg)) // 2
+    # deterministic across constructions with the same seed
+    ds = FaceIdDataset(cfg)
+    again = [int(i) for b in PrefetchLoader(ds, tok, 2, shuffle=True, seed=9,
+                                            shard_id=0, num_shards=2)
+             for i in b["ids"][:, 0]]
+    assert again == seen[0]

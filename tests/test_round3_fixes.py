@@ -134,6 +134,37 @@ def test_mode_swap_unfreezes_unet_at_step_k(tmp_path):
     assert moved > 0, "UNet did not train after the swap"
 
 
+def test_align_pipelined_matches_serial(tmp_path):
+    """W0 threading (VERDICT r2 next #10): workers=4 must produce
+    byte-identical crops to the serial path — only scheduling changes."""
+    from PIL import Image
+    from celebbasis_tpu.cli.align import (_init_detector, _init_landmarker,
+                                          align_folder)
+
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (160, 140, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    det = _init_detector(None)
+    det.thresh = 0.05            # random weights: make noise detections fire
+    lmk = _init_landmarker(None, None)
+    out_a, out_b = str(tmp_path / "serial"), str(tmp_path / "threaded")
+    n_a = align_folder(str(photos), out_a, det, lmk, crop_size=64,
+                       workers=1)
+    n_b = align_folder(str(photos), out_b, det, lmk, crop_size=64,
+                       workers=4)
+    assert n_a == n_b
+    files_a = sorted(os.listdir(out_a))
+    assert files_a == sorted(os.listdir(out_b))
+    assert n_a > 0, "no detections — threshold hack stopped working"
+    for f in files_a:
+        a = np.asarray(Image.open(os.path.join(out_a, f)))
+        b = np.asarray(Image.open(os.path.join(out_b, f)))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_cached_mode_external_validate_builds_cache(tmp_path):
     """validate() before fit() must build the cache itself instead of
     feeding raw-schema batches to the cached-schema loss (KeyError before)."""
