@@ -167,3 +167,55 @@ def test_train_loss_changes_with_contra():
     state = tstep.init_train_state(jax.random.key(3), trainable, opt, mstate)
     state, logs = step_fn(state, frozen, basis, batch)
     assert np.isfinite(float(logs["loss"]))
+
+
+def test_cached_loss_contra_wiring():
+    """The cached (fast-personalization) loss applies the contra term too."""
+    from celebbasis_tpu.core.meta_net import MetaIdNet, MetaNetConfig
+    from celebbasis_tpu.pipeline import CelebBasisPipeline, PipelineConfig
+    from celebbasis_tpu.text import CLIPTokenizer
+    from celebbasis_tpu.train import step as tstep
+
+    tok = CLIPTokenizer.synthetic(size=1024)
+    cfg = PipelineConfig.tiny()
+    pipe = CelebBasisPipeline(cfg, tok)
+    params = pipe.init_params(jax.random.key(0), image_size=32)
+    meta_cfg = MetaNetConfig.tiny()
+    meta_cfg = type(meta_cfg)(**{**meta_cfg.__dict__,
+                                 "inner_dim": cfg.basis.n_components,
+                                 "token_dim": cfg.clip.width})
+    meta = MetaIdNet(meta_cfg, dtype=jnp.float32)
+    fs = meta_cfg.face_size
+    basis = jnp.zeros((cfg.basis.num_embeds_per_token,
+                       1 + cfg.basis.n_components, cfg.clip.width))
+    meta_params = jax.jit(meta.init)(
+        jax.random.key(1), jnp.zeros((1, fs, fs, 3)),
+        jnp.zeros((1,), jnp.int32), basis)
+    meta_trainable, meta_frozen = tstep.split_meta_params(meta_params)
+    frozen = {"unet": params["unet"], "vae": params["vae"],
+              "clip": params["clip"], "meta_frozen": meta_frozen}
+    rng = np.random.default_rng(0)
+    B, k = 2, 4
+    lat = 32 // pipe.latent_factor
+    batch = {
+        "latent_mean": jnp.asarray(rng.standard_normal((B, lat, lat, 4)),
+                                   jnp.float32),
+        "latent_logvar": jnp.zeros((B, lat, lat, 4)),
+        "fr_feats": jnp.asarray(rng.standard_normal((B, k, meta_cfg.fr_dim)),
+                                jnp.float32),
+        "tokens": jnp.asarray(tok(["a photo of a sks person"] * B)),
+        "ids": jnp.asarray([[0, 1, 0, 1]] * B, jnp.int32),
+        "num_ids": jnp.ones((B,), jnp.int32),
+    }
+    mstate = mgr.init_state(pipe.manager_cfg, jax.random.key(2))
+    key = jax.random.key(7)
+    l0, _ = jax.jit(tstep.make_cached_loss_fn(pipe, meta, "none"))(
+        meta_trainable, frozen, mstate, basis, batch, key)
+    gnet_params = tstep.init_gnet_params(pipe, jax.random.key(9))
+    trainable = tstep.build_trainable(meta_trainable, gnet_params=gnet_params)
+    loss_fn = tstep.make_cached_loss_fn(pipe, meta, "contra")
+    l1, (_, logs) = jax.jit(loss_fn)(trainable, frozen, mstate, basis,
+                                     batch, key)
+    assert float(l1) != float(l0)
+    np.testing.assert_allclose(float(l1) - float(l0),
+                               float(logs["loss_contra"]), rtol=1e-4)
