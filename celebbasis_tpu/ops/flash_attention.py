@@ -10,8 +10,8 @@ dtype.
 Backward is the standard flash decomposition with saved per-row logsumexp:
 one kernel accumulates dQ over K/V tiles, a second accumulates dK/dV over Q
 tiles; ``D = rowsum(dO·O)`` is computed outside (cheap elementwise).
-Head dims are zero-padded to the 128-lane width; key/query padding is masked
-with -inf scores.
+Head dims stay unpadded in HBM when sublane-aligned (see ``_d_pack``);
+Mosaic masks the vreg lanes.  Key/query padding is masked with -inf scores.
 
 ``flash_attention(q, k, v)`` takes (B, H, N, D) / (B, H, M, D) and is the
 ``impl='pallas'`` backend of ``celebbasis_tpu.ops.attention.attention``.
@@ -92,8 +92,20 @@ def _pad_nd(x, n_to, d_to):
                        (0, d_to - x.shape[3])))
 
 
+def _d_pack(D: int) -> int:
+    """On-HBM head-dim layout.
+
+    SD v1's d=40 heads pad to the 128-lane vreg width *in registers* no
+    matter what; materializing that padding in HBM (round 1/2 did) tripled
+    the attention q/k/v/o HBM traffic — and the UNet forward is at the HBM
+    roofline (PERF.md), so traffic is what costs.  Keep D unpadded in HBM
+    when it is sublane-aligned (multiple of 8); Mosaic masks the lanes.
+    """
+    return D if D % 8 == 0 else _ceil_to(D, 8)
+
+
 def _geometry(N, M, D, block_q, block_k):
-    dp = _ceil_to(D, _LANE)
+    dp = _d_pack(D)
     bq = min(block_q, _ceil_to(N, 8))
     mp = _ceil_to(M, min(block_k, _ceil_to(M, _LANE)))
     bk = min(block_k, mp)
