@@ -88,13 +88,21 @@ import functools
 
 
 @functools.lru_cache(maxsize=32)
-def _warp_jit(in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+def _warp_jit(in_hw: Tuple[int, int], out_hw: Tuple[int, int],
+              u8: bool = False):
     """One compiled warp per (input, output) geometry — the eager per-op
-    dispatch otherwise dominates W0 throughput on slow hosts."""
+    dispatch otherwise dominates W0 throughput on slow hosts.
+
+    ``u8=True`` takes/returns uint8 and converts on device: the fp32
+    image transfer is 4× the bytes and dominates W0 wall-clock on
+    tunneled hosts (PERF.md).  The uint8 output floors after clipping —
+    bit-identical to the host-side ``crop.clip(0,255).astype(uint8)``."""
     H, W = in_hw
     oh, ow = out_hw
 
     def fn(image, Ainv):
+        if u8:
+            image = image.astype(jnp.float32)
         ys, xs = jnp.meshgrid(jnp.arange(oh, dtype=jnp.float32),
                               jnp.arange(ow, dtype=jnp.float32),
                               indexing="ij")
@@ -104,7 +112,10 @@ def _warp_jit(in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
         gx = 2.0 * coords[..., 0] / (W - 1) - 1.0
         gy = 2.0 * coords[..., 1] / (H - 1) - 1.0
         grid = jnp.stack([gx, gy], -1)
-        return grid_sample_bilinear(image, grid, align_corners=True)
+        out = grid_sample_bilinear(image, grid, align_corners=True)
+        if u8:
+            out = jnp.floor(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
+        return out
 
     return jax.jit(fn)
 
@@ -112,12 +123,16 @@ def _warp_jit(in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
 def warp_affine_pixels(image: np.ndarray, M: np.ndarray,
                        out_size: Tuple[int, int]) -> np.ndarray:
     """cv2.warpAffine equivalent: dst(x,y) = src(M^-1 [x,y,1]), bilinear,
-    zero border. image: (H,W,C) float; M: (2,3) src->dst pixel transform."""
+    zero border. image: (H,W,C) float — or uint8, in which case the warp
+    runs fp32 on device and a uint8 crop comes back (transfer-lean W0
+    path). M: (2,3) src->dst pixel transform."""
     H, W = image.shape[:2]
     A = np.vstack([M, [0, 0, 1]]).astype(np.float64)
     Ainv = np.linalg.inv(A)[:2].astype(np.float32)
-    fn = _warp_jit((H, W), tuple(out_size))
-    return np.asarray(fn(jnp.asarray(image, jnp.float32), jnp.asarray(Ainv)))
+    u8 = image.dtype == np.uint8
+    fn = _warp_jit((H, W), tuple(out_size), u8)
+    img = jnp.asarray(image) if u8 else jnp.asarray(image, jnp.float32)
+    return np.asarray(fn(img, jnp.asarray(Ainv)))
 
 
 def norm_crop(image: np.ndarray, lmk5: np.ndarray, image_size: int = 112,

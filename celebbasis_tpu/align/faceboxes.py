@@ -236,11 +236,24 @@ class FaceBoxesDetector:
         self.max_post = max_post_nms
         self._jit_fwd = jax.jit(
             lambda p, im, pri: self._forward(p, im, pri))
+        self._prior_cache: dict = {}
 
-    def _forward(self, params, image, priors):
+    def _forward(self, params, image_u8, priors):
+        # uint8 on the wire: the host->device image transfer is the W0
+        # bottleneck on tunneled hosts (PERF.md) — convert + mean-subtract
+        # on device (exact: uint8->fp32 is lossless, same arithmetic)
+        image = image_u8.astype(jnp.float32) - jnp.asarray(
+            [104.0, 117.0, 123.0], jnp.float32)
         loc, conf = self.net.apply(params, image)
         boxes = decode_boxes(loc[0], priors, CFG["variance"])
-        return boxes, conf[0, :, 1]
+        scores = conf[0, :, 1]
+        # pre-NMS top-k on device: only max_pre boxes cross the wire
+        # instead of every anchor.  Equivalent to the host-side
+        # threshold+sort: any anchor above thresh outranks every anchor
+        # below it, so thresholding the overall top-k keeps the same set.
+        k = min(self.max_pre, scores.shape[0])
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        return boxes[top_idx], top_scores
 
     def detect(self, image_bgr: np.ndarray, im_scale: float | None = None):
         from PIL import Image
@@ -251,19 +264,20 @@ class FaceBoxesDetector:
             sw, sh = int(round(w * im_scale)), int(round(h * im_scale))
             img = np.asarray(Image.fromarray(
                 image_bgr.astype(np.uint8)).resize((sw, sh), Image.BILINEAR),
-                np.float32)
+                np.uint8)
         else:
-            img = image_bgr.astype(np.float32)
-        img = img - np.asarray([104.0, 117.0, 123.0], np.float32)
+            img = image_bgr.astype(np.uint8)
         sh, sw = img.shape[:2]
-        priors = jnp.asarray(prior_boxes((sh, sw)))
+        if (sh, sw) not in self._prior_cache:
+            self._prior_cache[(sh, sw)] = jnp.asarray(prior_boxes((sh, sw)))
+        priors = self._prior_cache[(sh, sw)]
         boxes, scores = self._jit_fwd(self.params, jnp.asarray(img[None]),
                                       priors)
         boxes = np.asarray(boxes) * np.asarray([sw, sh, sw, sh], np.float32)
         scores = np.asarray(scores)
         inds = scores > self.thresh
         boxes, scores = boxes[inds], scores[inds]
-        order = scores.argsort()[::-1][: self.max_pre]
+        order = scores.argsort()[::-1]
         dets = np.hstack([boxes[order], scores[order, None]]).astype(np.float32)
         keep = nms_mod.greedy_nms(dets, self.nms_thresh)
         dets = dets[keep][: self.max_post]

@@ -210,7 +210,11 @@ class PIPNetLandmarker:
         self._ri1, self._ri2 = jnp.asarray(ri1), jnp.asarray(ri2)
         self._jit = jax.jit(self._forward)
 
-    def _forward(self, params, x):
+    def _forward(self, params, x_u8):
+        # uint8 crop on the wire (4x fewer bytes than fp32 — the transfer,
+        # not the net, bounds W0 on tunneled hosts); normalize on device
+        x = (x_u8.astype(jnp.float32) / 255.0
+             - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         return decode_landmarks(self.net.apply(params, x), self.cfg,
                                 self._ri1, self._ri2)
 
@@ -232,8 +236,7 @@ class PIPNetLandmarker:
         w, h = xmax - xmin + 1, ymax - ymin + 1
         crop = image_rgb[ymin:ymax, xmin:xmax]
         crop = np.asarray(Image.fromarray(crop.astype(np.uint8)).resize(
-            (self.cfg.input_size,) * 2, Image.BILINEAR), np.float32) / 255.0
-        crop = (crop - IMAGENET_MEAN) / IMAGENET_STD
+            (self.cfg.input_size,) * 2, Image.BILINEAR), np.uint8)
         lms = np.asarray(self._jit(self.params, jnp.asarray(crop[None])))[0]
         out = np.empty_like(lms)
         out[:, 0] = (lms[:, 0] * w).astype(int) + xmin

@@ -78,18 +78,18 @@ def _init_landmarker(ckpt, meanface_path, seed=0):
 def _align_one(path: str, out_folder: str, detector, landmarker,
                crop_size: int, mode: str) -> bool:
     rgb = np.asarray(Image.open(path).convert("RGB"))
-    bgr = rgb[:, :, ::-1].astype(np.float32)
-    dets = detector.detect(bgr)
-    if not dets:
+    bgr = rgb[:, :, ::-1]                       # uint8 end to end: the
+    dets = detector.detect(bgr)                 # fp32 image uploads were
+    if not dets:                                # the W0 bottleneck (PERF.md)
         print(f"[align] no face in {path}")
         return False
     det = max(dets, key=lambda d: d.score)
     lmk98 = landmarker.landmarks_for_box(rgb, det)
     lmk5 = get_5_from_98(lmk98)
-    crop = norm_crop(rgb.astype(np.float32), lmk5, crop_size, mode)
+    crop = norm_crop(rgb, lmk5, crop_size, mode)   # uint8 in -> uint8 out
     out = os.path.join(out_folder,
                        os.path.splitext(os.path.basename(path))[0] + ".jpg")
-    Image.fromarray(crop.clip(0, 255).astype(np.uint8)).save(out)
+    Image.fromarray(crop).save(out)
     return True
 
 

@@ -123,7 +123,8 @@ def build_abstract_setup(image_size: int = 512, B: int = 2):
     basis = basis0
     opt = tstep.make_optimizer(1e-2)
     step_fn = tstep.make_train_step(pipe, meta, opt)
-    mstate = jax.eval_shape(mgr.init_state, pipe.manager_cfg, key)
+    mstate = jax.eval_shape(lambda r: mgr.init_state(pipe.manager_cfg, r),
+                            key)
     opt_state = jax.eval_shape(opt.init, trainable)
     state = tstep.TrainState(jax.ShapeDtypeStruct((), jnp.int32), trainable,
                              opt_state, mstate, jax.eval_shape(
@@ -163,7 +164,8 @@ def audit_fsdp_full():
     collective counts + per-chip frozen-HBM — proof for the claimed ~8x
     frozen-memory reduction (parallel/mesh.py:84-100)."""
     from celebbasis_tpu.parallel import mesh as pmesh
-    step_fn, state, frozen, basis, batch = build_abstract_setup()
+    # global batch 16 = per-chip bs2 (the reference recipe) on 8 chips
+    step_fn, state, frozen, basis, batch = build_abstract_setup(B=16)
     mesh = pmesh.make_mesh(n_data=8, n_model=1)
     n_data = mesh.shape["data"]
     repl = pmesh.replicated(mesh)
