@@ -57,7 +57,7 @@ def main(argv=None):
 
     fn = asm.pipeline.make_txt2img_fn(num_steps=args.ddim_steps,
                                       guidance_scale=args.scale,
-                                      image_size=args.H)
+                                      image_size=args.H, output="uint8")
     from PIL import Image
     B = args.n_samples
     rng = jax.random.key(args.seed)
@@ -82,8 +82,7 @@ def main(argv=None):
             rng, sub = jax.random.split(rng)
             imgs = np.asarray(fn(asm.params, asm.manager_state, asm.basis,
                                  tokens, uncond, ids, num_ids, sub))
-            for bi, img in enumerate(imgs):
-                u8 = ((img + 1) * 127.5).clip(0, 255).astype(np.uint8)
+            for bi, u8 in enumerate(imgs):
                 Image.fromarray(u8).save(
                     os.path.join(outdir, f"{pi:05d}_id{id_idx}_#{bi}.jpg"))
         print(f"[gen_imgs] prompt {pi}: done")

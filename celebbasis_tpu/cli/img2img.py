@@ -20,11 +20,13 @@ from celebbasis_tpu.diffusion.sampler import SamplerConfig, ddim_step, guided_ep
 from celebbasis_tpu.diffusion.schedules import make_ddim_schedule
 from celebbasis_tpu.loader import assemble
 from celebbasis_tpu.models.vae import AutoencoderKL, sample_posterior
+from celebbasis_tpu.pipeline import finish_images
 from celebbasis_tpu.utils.config import load_run_spec
 
 
 def make_img2img_fn(pipe, num_steps: int, strength: float,
-                    guidance_scale: float, image_size: int):
+                    guidance_scale: float, image_size: int,
+                    output: str = "float"):
     ddim = make_ddim_schedule(pipe.schedule, num_steps, eta=0.0)
     t_enc = max(1, min(int(strength * num_steps), num_steps))
     order = slice(None, None, -1)
@@ -66,7 +68,7 @@ def make_img2img_fn(pipe, num_steps: int, strength: float,
             x = z0 * (1 - mask) + x * mask
         img = pipe.vae.apply(params["vae"], x / scale_f,
                              method=AutoencoderKL.decode)
-        return jnp.clip(img, -1, 1)
+        return finish_images(img, output)
 
     return jax.jit(fn, static_argnames=())
 
@@ -114,7 +116,7 @@ def main(argv=None):
 
     B = args.n_samples
     fn = make_img2img_fn(asm.pipeline, args.ddim_steps, args.strength,
-                         args.scale, size)
+                         args.scale, size, output="uint8")
     tokens = jnp.asarray(asm.tokenizer([args.prompt] * B))
     uncond = jnp.asarray(asm.tokenizer([""] * B))
     k = len(asm.pipeline.manager_cfg.placeholder_token_ids)
@@ -126,9 +128,8 @@ def main(argv=None):
                          mask, tokens, uncond, ids, num_ids,
                          jax.random.key(args.seed)))
     os.makedirs(args.outdir, exist_ok=True)
-    for i, img in enumerate(imgs):
-        Image.fromarray(((img + 1) * 127.5).clip(0, 255).astype(np.uint8)
-                        ).save(os.path.join(args.outdir, f"{i:05d}.jpg"))
+    for i, u8 in enumerate(imgs):
+        Image.fromarray(u8).save(os.path.join(args.outdir, f"{i:05d}.jpg"))
     print(f"[img2img] wrote {B} images to {args.outdir}")
 
 

@@ -24,7 +24,10 @@ from celebbasis_tpu.utils.config import load_run_spec
 def save_images(arr: np.ndarray, outdir: str, start_idx: int, grid: bool):
     from PIL import Image
     os.makedirs(outdir, exist_ok=True)
-    imgs = ((arr + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+    if arr.dtype == np.uint8:       # quantized on device (finish_images)
+        imgs = arr
+    else:
+        imgs = ((arr + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
     paths = []
     for i, im in enumerate(imgs):
         p = os.path.join(outdir, f"{start_idx + i:05d}.jpg")
@@ -128,7 +131,7 @@ def main(argv=None):
         faces_fn = pipe.make_txt2img_faces_fn(
             asm.meta_net, num_steps=args.ddim_steps,
             guidance_scale=args.scale, eta=args.ddim_eta, image_size=args.H,
-            sampler=sampler)
+            sampler=sampler, output="uint8")
 
         def fn(params, _state, basis, tokens, uncond, ids, num_ids, rng):
             B = tokens.shape[0]
@@ -149,14 +152,15 @@ def main(argv=None):
         ti_fn = pipe.make_txt2img_ti_fn(
             ti_cfg, ph_ids, num_steps=args.ddim_steps,
             guidance_scale=args.scale, eta=args.ddim_eta, image_size=args.H,
-            sampler=sampler)
+            sampler=sampler, output="uint8")
 
         def fn(params, _state, _basis, tokens, uncond, _ids, _num_ids, rng):
             return ti_fn(params, ti_params, tokens, uncond, rng)
     else:
         fn = pipe.make_txt2img_fn(
             num_steps=args.ddim_steps, guidance_scale=args.scale,
-            eta=args.ddim_eta, image_size=args.H, sampler=sampler)
+            eta=args.ddim_eta, image_size=args.H, sampler=sampler,
+            output="uint8")
 
     B = args.n_samples
     # in faces mode the id axis follows the supplied photos (one face slot

@@ -52,7 +52,8 @@ def main(argv=None):
             sample_params = cast_float_params(asm.params)
         fn = asm.pipeline.make_txt2img_fn(num_steps=args.ddim_steps,
                                           guidance_scale=10.0,
-                                          image_size=args.image_size)
+                                          image_size=args.image_size,
+                                          output="uint8")
         B = args.n_samples
         tokens = jnp.asarray(asm.tokenizer(["a photo of a sks person"] * B))
         uncond = jnp.asarray(asm.tokenizer([""] * B))

@@ -62,6 +62,29 @@ def ddim_step(x, eps, a_t, a_prev, sqrt_oma, sigma, noise):
     return jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * noise, pred_x0
 
 
+def _per_sample(rng, batch: int) -> bool:
+    """True when ``rng`` is a (B,) batch of keys — one stream per sample.
+
+    With per-sample keys, row i's noise (initial latents and any eta>0 step
+    noise) depends only on key i, so a sample's pixels are independent of
+    whatever else happens to be co-batched — the property the serving
+    daemon's continuous batcher needs for reproducible results.  A single
+    key keeps the original whole-batch stream (bitwise-identical to older
+    rounds).
+    """
+    if jnp.ndim(rng) == 0:
+        return False
+    if rng.shape == (batch,):
+        return True
+    raise ValueError(f"rng must be one key or ({batch},) keys; "
+                     f"got shape {rng.shape}")
+
+
+def _batched_normal(keys, shape):
+    """(B,) keys -> (B, *shape[1:]) normal, one independent stream per row."""
+    return jax.vmap(lambda k: jax.random.normal(k, shape[1:]))(keys)
+
+
 def ddim_sample(eps_model: EpsModel, ddim: DDIMSchedule, *,
                 rng: jax.Array, shape, cond: jax.Array,
                 uncond: jax.Array | None = None,
@@ -70,12 +93,24 @@ def ddim_sample(eps_model: EpsModel, ddim: DDIMSchedule, *,
     """Run the full DDIM chain; returns final latents (B,H,W,C).
 
     Jittable end-to-end: wrap in jax.jit with eps_model closed over params.
+    ``rng`` may be a single key (whole-batch stream) or (B,) keys — one
+    independent stream per sample (see :func:`_per_sample`).
     """
     ts, alphas, alphas_prev, sqrt_omas, sigmas = _step_constants(ddim)
-    rng, init_rng = jax.random.split(rng)
-    x = jax.random.normal(init_rng, shape) if x_T is None else x_T
+    per_sample = _per_sample(rng, shape[0])
+    if per_sample:
+        ks = jax.vmap(jax.random.split)(rng)            # (B, 2) keys
+        init_rng, rng = ks[:, 0], ks[:, 1]
+        x = _batched_normal(init_rng, shape) if x_T is None else x_T
+        # (steps, B) keys: row i's step noise comes only from key i
+        step_rngs = jnp.swapaxes(
+            jax.vmap(lambda k: jax.random.split(k, ddim.num_steps))(rng),
+            0, 1)
+    else:
+        rng, init_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, shape) if x_T is None else x_T
+        step_rngs = jax.random.split(rng, ddim.num_steps)
     use_cfg = uncond is not None and cfg.guidance_scale != 1.0
-    step_rngs = jax.random.split(rng, ddim.num_steps)
 
     def body(x, per_step):
         t, a_t, a_prev, sqrt_oma, sigma, step_rng = per_step
@@ -84,7 +119,8 @@ def ddim_sample(eps_model: EpsModel, ddim: DDIMSchedule, *,
             eps = guided_eps(eps_model, x, tb, cond, uncond, cfg.guidance_scale)
         else:
             eps = eps_model(x, tb, cond)
-        noise = jax.random.normal(step_rng, x.shape) * cfg.temperature
+        noise = (_batched_normal(step_rng, x.shape) if per_sample
+                 else jax.random.normal(step_rng, x.shape)) * cfg.temperature
         x, _ = ddim_step(x, eps, a_t, a_prev, sqrt_oma, sigma, noise)
         return x, None
 
@@ -106,8 +142,12 @@ def plms_sample(eps_model: EpsModel, ddim: DDIMSchedule, *,
     ts, alphas, alphas_prev, sqrt_omas, sigmas = _step_constants(ddim)
     # t_next for the second eps evaluation (plms.py:170: t_prev per step)
     ts_next = jnp.concatenate([ts[1:], jnp.array([0], jnp.int32)])
-    rng, init_rng = jax.random.split(rng)
-    x = jax.random.normal(init_rng, shape) if x_T is None else x_T
+    if _per_sample(rng, shape[0]):
+        init_rng = jax.vmap(lambda k: jax.random.split(k)[0])(rng)
+        x = _batched_normal(init_rng, shape) if x_T is None else x_T
+    else:
+        rng, init_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, shape) if x_T is None else x_T
     use_cfg = uncond is not None and cfg.guidance_scale != 1.0
 
     def eps_fn(x, t):

@@ -105,7 +105,8 @@ class ModelInfer:
                 continue
             images = self.infer_one(item)
             for bi, img in enumerate(images):
-                u8 = ((img + 1) * 127.5).clip(0, 255).astype(np.uint8)
+                u8 = (img if img.dtype == np.uint8
+                      else ((img + 1) * 127.5).clip(0, 255).astype(np.uint8))
                 Image.fromarray(u8).save(os.path.join(
                     item.out_dir,
                     image_name(item.prompt_idx, item.id_idx, bi)))

@@ -35,6 +35,25 @@ from celebbasis_tpu.models.vae import AutoencoderKL, VAEConfig
 from celebbasis_tpu.text.tokenizer import CLIPTokenizer
 
 
+def finish_images(img: jax.Array, output: str) -> jax.Array:
+    """Final on-device image formatting for the sampling graphs.
+
+    ``output='float'`` keeps the reference contract (clipped [-1, 1] fp32,
+    `stable_txt2img.py:355-360`).  ``output='uint8'`` additionally quantizes
+    to display pixels *on device*, so the host download over the tunnel is
+    4x smaller — same math as the CLIs' former host-side
+    ``((x + 1) * 127.5).clip(0, 255).astype(uint8)`` (float->int converts
+    truncate toward zero in both XLA and numpy, so pixels are bit-equal).
+    """
+    img = jnp.clip(img, -1.0, 1.0)
+    if output == "float":
+        return img
+    if output == "uint8":
+        scaled = (img.astype(jnp.float32) + 1.0) * 127.5
+        return jnp.clip(scaled, 0.0, 255.0).astype(jnp.uint8)
+    raise ValueError(f"unknown output mode {output!r}")
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     unet: UNetConfig = UNetConfig.sd_v1()
@@ -136,9 +155,10 @@ class CelebBasisPipeline:
     # -- jitted end-to-end samplers -----------------------------------------
     def make_txt2img_fn(self, num_steps: int = 50, guidance_scale: float = 10.0,
                         eta: float = 0.0, image_size: int = 512,
-                        sampler: str = "ddim"):
+                        sampler: str = "ddim", output: str = "float"):
         """Returns jit(fn)(params, manager_state, basis, tokens, uncond_tokens,
-        ids, num_ids, rng) -> images (B,H,W,3) in [-1,1].
+        ids, num_ids, rng) -> images (B,H,W,3) in [-1,1] (or uint8 pixels
+        when ``output='uint8'`` — see :func:`finish_images`).
 
         Matches the reference recipe: DDIM 50 / scale 10 / eta 0
         (02_start_test.sh:36-49).
@@ -160,13 +180,14 @@ class CelebBasisPipeline:
             z = x / self.cfg.scale_factor
             img = self.vae.apply(params["vae"], z,
                                  method=AutoencoderKL.decode)
-            return jnp.clip(img, -1.0, 1.0)
+            return finish_images(img, output)
 
         return jax.jit(fn)
 
     def make_txt2img_faces_fn(self, meta_net, num_steps: int = 50,
                               guidance_scale: float = 10.0, eta: float = 0.0,
-                              image_size: int = 512, sampler: str = "ddim"):
+                              image_size: int = 512, sampler: str = "ddim",
+                              output: str = "float"):
         """Live-face personalization at inference (test_mode='image'):
         identity embeddings come from a fresh MetaIdNet forward on aligned
         face crops instead of saved coefficients — the reference's one-shot
@@ -204,13 +225,14 @@ class CelebBasisPipeline:
                                             eta=eta))
             img = self.vae.apply(params["vae"], x / self.cfg.scale_factor,
                                  method=AutoencoderKL.decode)
-            return jnp.clip(img, -1.0, 1.0)
+            return finish_images(img, output)
 
         return jax.jit(fn)
 
     def make_txt2img_ti_fn(self, ti_cfg, ph_ids, num_steps: int = 50,
                            guidance_scale: float = 7.5, eta: float = 0.0,
-                           image_size: int = 512, sampler: str = "ddim"):
+                           image_size: int = 512, sampler: str = "ddim",
+                           output: str = "float"):
         """Textual-inversion sampling: learned vectors replace placeholders
         (the reference's main.py/textual_test path).
 
@@ -236,6 +258,6 @@ class CelebBasisPipeline:
                                             eta=eta))
             img = self.vae.apply(params["vae"], x / self.cfg.scale_factor,
                                  method=AutoencoderKL.decode)
-            return jnp.clip(img, -1.0, 1.0)
+            return finish_images(img, output)
 
         return jax.jit(fn)

@@ -38,7 +38,8 @@ class ImageLogger:
         self.max_images = max_images
         self._fn = None
         self._mk = lambda: pipeline.make_txt2img_fn(
-            num_steps=num_steps, guidance_scale=7.5, image_size=image_size)
+            num_steps=num_steps, guidance_scale=7.5, image_size=image_size,
+            output="uint8")
 
     def on_step(self, step: int, trainer, state) -> None:
         self.maybe_log(step, trainer.frozen, state.manager_state,
@@ -58,9 +59,8 @@ class ImageLogger:
         k = len(self.pipeline.manager_cfg.placeholder_token_ids)
         ids = jnp.zeros((B, k), jnp.int32)
         num_ids = jnp.ones((B,), jnp.int32)
-        imgs = np.asarray(self._fn(params, manager_state, basis, tokens,
-                                   uncond, ids, num_ids, rng))
-        u8 = ((imgs + 1) * 127.5).clip(0, 255).astype(np.uint8)
+        u8 = np.asarray(self._fn(params, manager_state, basis, tokens,
+                                 uncond, ids, num_ids, rng))
         grid = np.concatenate(list(u8), axis=1)
         path = os.path.join(self.dir, f"samples_gs-{step:06d}.jpg")
         Image.fromarray(grid).save(path)

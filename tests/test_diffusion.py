@@ -205,3 +205,29 @@ def test_schedule_values():
     ddim = make_ddim_schedule(sched, 50)
     assert ddim.timesteps[0] == 1 and ddim.timesteps[-1] == 981
     assert ddim.num_steps == 50
+
+
+def test_per_sample_keys_batch_independent():
+    """(B,) rng keys: each row's output depends only on its own key — a
+    sample's pixels must not change with batch position or co-batched
+    neighbours (the serving batcher's determinism contract), for both
+    eta=0 and the eta>0 step-noise path, and for PLMS."""
+    sched = make_schedule()
+    _, eps_jnp = _toy_eps_model()
+    cond3 = jnp.ones((3, 5, 8))
+    cond2 = jnp.ones((2, 5, 8))
+    for sampler, eta in ((ddim_sample, 0.0), (ddim_sample, 1.0),
+                        (plms_sample, 0.0)):
+        ddim = make_ddim_schedule(sched, 5, eta=eta)
+        cfg = SamplerConfig(guidance_scale=1.0, eta=eta)
+        keys = jax.vmap(jax.random.key)(jnp.arange(3, dtype=jnp.uint32))
+        out3 = np.asarray(sampler(eps_jnp, ddim, rng=keys,
+                                  shape=(3,) + SHAPE[1:], cond=cond3,
+                                  cfg=cfg))
+        # same key 1, different position + different neighbours
+        keys2 = jax.vmap(jax.random.key)(jnp.asarray([9, 1], jnp.uint32))
+        out2 = np.asarray(sampler(eps_jnp, ddim, rng=keys2,
+                                  shape=(2,) + SHAPE[1:], cond=cond2,
+                                  cfg=cfg))
+        np.testing.assert_array_equal(out2[1], out3[1])
+        assert not np.allclose(out3[0], out3[1])   # distinct keys differ

@@ -187,3 +187,29 @@ def test_cached_mode_external_validate_builds_cache(tmp_path):
     val = trainer.validate(state)       # must not KeyError
     assert np.isfinite(val)
     assert trainer._cache is not None
+
+
+def test_uint8_output_matches_host_quantization():
+    """The on-device uint8 sampling output (finish_images) must be
+    pixel-equal to the CLIs' former host-side conversion of the float
+    output — same prompt, same rng."""
+    pipe, meta, trainable, frozen, basis, make_batch = _tiny_assembly()
+    params = {"unet": frozen["unet"], "vae": frozen["vae"],
+              "clip": frozen["clip"]}
+    mstate = mgr.init_state(pipe.manager_cfg, jax.random.key(2))
+    batch = make_batch(0)
+    tokens = jnp.asarray(batch["tokens"])
+    uncond = jnp.asarray(pipe.tokenizer([""] * tokens.shape[0]))
+    ids = jnp.asarray(batch["ids"])
+    num_ids = jnp.asarray(batch["num_ids"])
+    rng = jax.random.key(7)
+    kw = dict(num_steps=3, guidance_scale=5.0, image_size=32)
+    f_float = pipe.make_txt2img_fn(**kw)
+    f_u8 = pipe.make_txt2img_fn(output="uint8", **kw)
+    imgs = np.asarray(f_float(params, mstate, basis, tokens, uncond, ids,
+                              num_ids, rng))
+    u8_dev = np.asarray(f_u8(params, mstate, basis, tokens, uncond, ids,
+                             num_ids, rng))
+    assert u8_dev.dtype == np.uint8
+    u8_host = ((imgs + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(u8_dev, u8_host)
