@@ -46,6 +46,22 @@ class UNetConfig:
     context_dim: int = 768
     dropout: float = 0.0
     remat: bool = False
+    # Legacy-LDM knobs (openaimodel.py:413-560; used by the shipped
+    # latent-diffusion configs): plain spatial self-attention instead of the
+    # cross-attention transformer, per-head channel width, FiLM-style
+    # time conditioning, and residual up/downsampling blocks.
+    use_spatial_transformer: bool = True
+    num_head_channels: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+
+    def heads_for(self, ch: int) -> int:
+        """Reference head resolution (openaimodel.py:539-546, legacy=True):
+        a fixed head count unless num_head_channels pins the head width."""
+        if self.num_head_channels == -1:
+            return self.num_heads
+        assert ch % self.num_head_channels == 0, (ch, self.num_head_channels)
+        return ch // self.num_head_channels
 
     @staticmethod
     def sd_v1() -> "UNetConfig":
@@ -58,22 +74,43 @@ class UNetConfig:
                           attention_resolutions=(1, 2))
 
 
+def _avg_pool2(x):
+    """Downsample(use_conv=False): 2x2 average pool, stride 2."""
+    return jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2, 1),
+                                 (1, 2, 2, 1), "VALID") * 0.25
+
+
 class ResBlock(nn.Module):
-    """GN→SiLU→conv, +time-emb, GN→SiLU→zero-conv, residual (openaimodel.py:163-277)."""
+    """GN→SiLU→conv, +time-emb, GN→SiLU→zero-conv, residual
+    (openaimodel.py:163-277).  ``scale_shift`` is the FiLM-style
+    use_scale_shift_norm conditioning; ``up``/``down`` fold a parameter-free
+    resample into both branches (resblock_updown)."""
     out_ch: int
     dtype: jnp.dtype
     dropout: float = 0.0
+    scale_shift: bool = False
+    up: bool = False
+    down: bool = False
 
     @nn.compact
     def __call__(self, x, emb, deterministic=True):
         h = GroupNorm(name="norm1")(x)
         h = nn.silu(h)
+        if self.up:
+            h, x = upsample2x_nearest(h), upsample2x_nearest(x)
+        elif self.down:
+            h, x = _avg_pool2(h), _avg_pool2(x)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(h)
-        emb_out = nn.Dense(self.out_ch, dtype=self.dtype, param_dtype=jnp.float32,
+        emb_ch = 2 * self.out_ch if self.scale_shift else self.out_ch
+        emb_out = nn.Dense(emb_ch, dtype=self.dtype, param_dtype=jnp.float32,
                            name="emb_proj")(nn.silu(emb))
-        h = h + emb_out[:, None, None, :]
-        h = GroupNorm(name="norm2")(h)
+        if self.scale_shift:
+            scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
+            h = GroupNorm(name="norm2")(h) * (1 + scale) + shift
+        else:
+            h = h + emb_out[:, None, None, :]
+            h = GroupNorm(name="norm2")(h)
         h = nn.silu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
@@ -82,6 +119,32 @@ class ResBlock(nn.Module):
             x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name="skip")(x)
         return x + h
+
+
+class AttentionBlock(nn.Module):
+    """Plain spatial self-attention (openaimodel.py:278-324 + QKVAttention-
+    Legacy :347-376): GN → fused qkv projection with *per-head interleaved*
+    [q|k|v] channel layout → softmax(QK^T/sqrt(d)) V → zero out-projection,
+    residual.  The 1x1 conv1d of the reference is a Dense over (B, HW, C)
+    tokens here (identical math, MXU-shaped)."""
+    heads: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, context=None):   # context ignored (self-attn only)
+        B, H, W, C = x.shape
+        dh = C // self.heads
+        h = GroupNorm(name="norm")(x).reshape(B, H * W, C)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="qkv")(h)
+        # torch reshape(bs*heads, 3*dh, t): channels run [head][q|k|v][dh]
+        qkv = qkv.reshape(B, H * W, self.heads, 3, dh)
+        q, k, v = (qkv[:, :, :, i, :].reshape(B, H * W, C) for i in range(3))
+        out = attention(q, k, v, num_heads=self.heads)
+        out = nn.Dense(C, kernel_init=nn.initializers.zeros,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="proj_out")(out)
+        return x + out.reshape(B, H, W, C)
 
 
 class CrossAttention(nn.Module):
@@ -212,16 +275,26 @@ class UNetModel(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, timesteps: jax.Array,
-                 context: jax.Array) -> jax.Array:
-        """x: (B, H, W, 4) latents; timesteps: (B,); context: (B, 77, 768).
+                 context: jax.Array | None = None) -> jax.Array:
+        """x: (B, H, W, C) latents; timesteps: (B,); context: (B, T, D)
+        cross-attention tokens (None for the legacy unconditional configs,
+        whose AttentionBlock is self-attention only).
 
-        Returns eps prediction (B, H, W, 4) in float32.
+        Returns eps prediction (B, H, W, out_channels) in float32.
         """
         cfg = self.cfg
         ch0 = cfg.model_channels
         Res = nn.remat(ResBlock) if cfg.remat else ResBlock
-        Attn = nn.remat(SpatialTransformer, static_argnums=()) if cfg.remat \
-            else SpatialTransformer
+        attn_cls = SpatialTransformer if cfg.use_spatial_transformer \
+            else AttentionBlock
+        Attn = nn.remat(attn_cls, static_argnums=()) if cfg.remat else attn_cls
+
+        def mk_attn(ch: int, name: str):
+            heads = cfg.heads_for(ch)
+            if cfg.use_spatial_transformer:
+                return Attn(heads, cfg.transformer_depth, self.dtype,
+                            name=name)
+            return Attn(heads, self.dtype, name=name)
 
         t_emb = timestep_embedding(timesteps, ch0)
         emb = nn.Dense(ch0 * 4, dtype=self.dtype, param_dtype=jnp.float32,
@@ -230,7 +303,8 @@ class UNetModel(nn.Module):
                        name="time_fc2")(nn.silu(emb))
 
         x = x.astype(self.dtype)
-        context = context.astype(self.dtype)
+        if context is not None:
+            context = context.astype(self.dtype)
 
         h = nn.Conv(ch0, (3, 3), padding="SAME", dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv_in")(x)
@@ -241,38 +315,50 @@ class UNetModel(nn.Module):
             ch = ch0 * mult
             for j in range(cfg.num_res_blocks):
                 h = Res(ch, self.dtype, cfg.dropout,
+                        cfg.use_scale_shift_norm,
                         name=f"down_{level}_res_{j}")(h, emb)
                 if ds in cfg.attention_resolutions:
-                    h = Attn(cfg.num_heads, cfg.transformer_depth, self.dtype,
-                             name=f"down_{level}_attn_{j}")(h, context)
+                    h = mk_attn(ch, f"down_{level}_attn_{j}")(h, context)
                 skips.append(h)
             if level != len(cfg.channel_mult) - 1:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                            dtype=self.dtype, param_dtype=jnp.float32,
-                            name=f"down_{level}_downsample")(h)
+                if cfg.resblock_updown:
+                    h = Res(ch, self.dtype, cfg.dropout,
+                            cfg.use_scale_shift_norm, down=True,
+                            name=f"down_{level}_downsample")(h, emb)
+                else:
+                    h = nn.Conv(ch, (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1)),
+                                dtype=self.dtype, param_dtype=jnp.float32,
+                                name=f"down_{level}_downsample")(h)
                 skips.append(h)
                 ds *= 2
         # --- middle ---
         ch = ch0 * cfg.channel_mult[-1]
-        h = Res(ch, self.dtype, cfg.dropout, name="mid_res_0")(h, emb)
-        h = Attn(cfg.num_heads, cfg.transformer_depth, self.dtype,
-                 name="mid_attn")(h, context)
-        h = Res(ch, self.dtype, cfg.dropout, name="mid_res_1")(h, emb)
+        h = Res(ch, self.dtype, cfg.dropout, cfg.use_scale_shift_norm,
+                name="mid_res_0")(h, emb)
+        h = mk_attn(ch, "mid_attn")(h, context)
+        h = Res(ch, self.dtype, cfg.dropout, cfg.use_scale_shift_norm,
+                name="mid_res_1")(h, emb)
         # --- decoder ---
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             ch = ch0 * mult
             for j in range(cfg.num_res_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = Res(ch, self.dtype, cfg.dropout,
+                        cfg.use_scale_shift_norm,
                         name=f"up_{level}_res_{j}")(h, emb)
                 if ds in cfg.attention_resolutions:
-                    h = Attn(cfg.num_heads, cfg.transformer_depth, self.dtype,
-                             name=f"up_{level}_attn_{j}")(h, context)
+                    h = mk_attn(ch, f"up_{level}_attn_{j}")(h, context)
             if level != 0:
-                h = upsample2x_nearest(h)
-                h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
-                            param_dtype=jnp.float32,
-                            name=f"up_{level}_upsample")(h)
+                if cfg.resblock_updown:
+                    h = Res(ch, self.dtype, cfg.dropout,
+                            cfg.use_scale_shift_norm, up=True,
+                            name=f"up_{level}_upsample")(h, emb)
+                else:
+                    h = upsample2x_nearest(h)
+                    h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
+                                param_dtype=jnp.float32,
+                                name=f"up_{level}_upsample")(h)
                 ds //= 2
         assert not skips
         h = GroupNorm(name="norm_out")(h)

@@ -36,6 +36,17 @@ class VAEConfig:
     in_ch: int = 3
     out_ch: int = 3
     scale_factor: float = 0.18215
+    # Legacy-LDM first-stage knobs (reference model.py:368-545): in-level
+    # self-attention at the listed *spatial resolutions* (not downsample
+    # rates — `resolution` anchors the per-level resolution ladder), and
+    # single-moment encoders for VQ stages (double_z=False).
+    attn_resolutions: Tuple[int, ...] = ()
+    double_z: bool = True
+    resolution: int = 256
+
+    def level_res(self, level: int) -> int:
+        """Spatial resolution at `level` (reference curr_res ladder)."""
+        return self.resolution >> level
 
     @staticmethod
     def sd_v1() -> "VAEConfig":
@@ -96,6 +107,9 @@ class Encoder(nn.Module):
             ch = cfg.ch * mult
             for j in range(cfg.num_res_blocks):
                 h = VAEResBlock(ch, self.dtype, name=f"down_{level}_res_{j}")(h)
+                if cfg.level_res(level) in cfg.attn_resolutions:
+                    h = VAEAttnBlock(self.dtype,
+                                     name=f"down_{level}_attn_{j}")(h)
             if level != len(cfg.ch_mult) - 1:
                 # reference Downsample: pad (0,1,0,1), stride-2 VALID conv
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
@@ -108,7 +122,8 @@ class Encoder(nn.Module):
         h = VAEResBlock(ch, self.dtype, name="mid_res_1")(h)
         h = GroupNorm(name="norm_out")(h)
         h = nn.swish(h)
-        h = nn.Conv(2 * cfg.z_channels, (3, 3), padding="SAME", dtype=self.dtype,
+        out_ch = (2 if cfg.double_z else 1) * cfg.z_channels
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv_out")(h)
         return h
 
@@ -130,6 +145,8 @@ class Decoder(nn.Module):
             ch = cfg.ch * mult
             for j in range(cfg.num_res_blocks + 1):
                 h = VAEResBlock(ch, self.dtype, name=f"up_{level}_res_{j}")(h)
+                if cfg.level_res(level) in cfg.attn_resolutions:
+                    h = VAEAttnBlock(self.dtype, name=f"up_{level}_attn_{j}")(h)
             if level != 0:
                 h = upsample2x_nearest(h)
                 h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,

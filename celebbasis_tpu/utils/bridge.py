@@ -122,6 +122,21 @@ def _map_resblock(km: KeyMap, dst: str, src: str):
         km.conv(f"{dst}/skip", f"{src}.skip_connection")
 
 
+def _conv1d_lin(w):   # torch conv1d (out,in,1) -> dense kernel (in,out)
+    return np.transpose(w[:, :, 0], (1, 0))
+
+
+def _map_attnblock(km: KeyMap, dst: str, src: str):
+    """Legacy AttentionBlock (openaimodel.py:278-324): 1x1-conv1d qkv and
+    proj_out become Dense kernels over the token dim."""
+    km.norm(f"{dst}/norm/GroupNorm_0", f"{src}.norm")
+    km.put(f"{dst}/qkv/kernel", _conv1d_lin(km.take(f"{src}.qkv.weight")))
+    km.put(f"{dst}/qkv/bias", km.take(f"{src}.qkv.bias"))
+    km.put(f"{dst}/proj_out/kernel",
+           _conv1d_lin(km.take(f"{src}.proj_out.weight")))
+    km.put(f"{dst}/proj_out/bias", km.take(f"{src}.proj_out.bias"))
+
+
 def _map_spatial(km: KeyMap, dst: str, src: str, depth: int):
     km.norm(f"{dst}/norm/GroupNorm_0", f"{src}.norm")
     km.conv(f"{dst}/proj_in", f"{src}.proj_in")
@@ -149,22 +164,31 @@ def convert_unet(state: Dict[str, np.ndarray],
     km.linear("time_fc2", "time_embed.2")
     km.conv("conv_in", "input_blocks.0.0")
 
+    def map_attn(dst, src_block):
+        if cfg.use_spatial_transformer:
+            _map_spatial(km, dst, src_block, cfg.transformer_depth)
+        else:
+            _map_attnblock(km, dst, src_block)
+
     idx = 1
     ds = 1
     for level in range(len(cfg.channel_mult)):
         for j in range(cfg.num_res_blocks):
             _map_resblock(km, f"down_{level}_res_{j}", f"input_blocks.{idx}.0")
             if ds in cfg.attention_resolutions:
-                _map_spatial(km, f"down_{level}_attn_{j}",
-                             f"input_blocks.{idx}.1", cfg.transformer_depth)
+                map_attn(f"down_{level}_attn_{j}", f"input_blocks.{idx}.1")
             idx += 1
         if level != len(cfg.channel_mult) - 1:
-            km.conv(f"down_{level}_downsample", f"input_blocks.{idx}.0.op")
+            if cfg.resblock_updown:
+                _map_resblock(km, f"down_{level}_downsample",
+                              f"input_blocks.{idx}.0")
+            else:
+                km.conv(f"down_{level}_downsample", f"input_blocks.{idx}.0.op")
             idx += 1
             ds *= 2
 
     _map_resblock(km, "mid_res_0", "middle_block.0")
-    _map_spatial(km, "mid_attn", "middle_block.1", cfg.transformer_depth)
+    map_attn("mid_attn", "middle_block.1")
     _map_resblock(km, "mid_res_1", "middle_block.2")
 
     idx = 0
@@ -173,13 +197,15 @@ def convert_unet(state: Dict[str, np.ndarray],
             _map_resblock(km, f"up_{level}_res_{j}", f"output_blocks.{idx}.0")
             sub = 1
             if ds in cfg.attention_resolutions:
-                _map_spatial(km, f"up_{level}_attn_{j}",
-                             f"output_blocks.{idx}.{sub}",
-                             cfg.transformer_depth)
+                map_attn(f"up_{level}_attn_{j}", f"output_blocks.{idx}.{sub}")
                 sub += 1
             if j == cfg.num_res_blocks and level != 0:
-                km.conv(f"up_{level}_upsample",
-                        f"output_blocks.{idx}.{sub}.conv")
+                if cfg.resblock_updown:
+                    _map_resblock(km, f"up_{level}_upsample",
+                                  f"output_blocks.{idx}.{sub}")
+                else:
+                    km.conv(f"up_{level}_upsample",
+                            f"output_blocks.{idx}.{sub}.conv")
                 ds //= 2
             idx += 1
 
@@ -209,19 +235,24 @@ def _map_vae_attn(km: KeyMap, dst: str, src: str):
     km.conv(f"{dst}/proj_out", f"{src}.proj_out")
 
 
-def convert_vae(state: Dict[str, np.ndarray],
-                ch_mult: Tuple[int, ...] = (1, 2, 4, 4),
-                num_res_blocks: int = 2,
-                prefix: str = "first_stage_model.") -> Dict:
-    src = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
-    km = KeyMap(src)
+def _map_ldm_backbone(km: KeyMap, ch_mult: Tuple[int, ...],
+                      num_res_blocks: int,
+                      attn_resolutions: Tuple[int, ...] = (),
+                      resolution: int = 256):
+    """Shared ldm Encoder/Decoder mapping (model.py:368-545), including the
+    legacy in-level attention at `attn_resolutions` (resolution at level l
+    is resolution >> l, for encoder and decoder alike)."""
     n_levels = len(ch_mult)
     # encoder
     km.conv("encoder/conv_in", "encoder.conv_in")
     for l in range(n_levels):
+        has_attn = (resolution >> l) in attn_resolutions
         for j in range(num_res_blocks):
             _map_vae_res(km, f"encoder/down_{l}_res_{j}",
                          f"encoder.down.{l}.block.{j}")
+            if has_attn:
+                _map_vae_attn(km, f"encoder/down_{l}_attn_{j}",
+                              f"encoder.down.{l}.attn.{j}")
         if l != n_levels - 1:
             km.conv(f"encoder/down_{l}_downsample",
                     f"encoder.down.{l}.downsample.conv")
@@ -236,17 +267,120 @@ def convert_vae(state: Dict[str, np.ndarray],
     _map_vae_attn(km, "decoder/mid_attn", "decoder.mid.attn_1")
     _map_vae_res(km, "decoder/mid_res_1", "decoder.mid.block_2")
     for l in range(n_levels):
+        has_attn = (resolution >> l) in attn_resolutions
         for j in range(num_res_blocks + 1):
             _map_vae_res(km, f"decoder/up_{l}_res_{j}",
                          f"decoder.up.{l}.block.{j}")
+            if has_attn:
+                _map_vae_attn(km, f"decoder/up_{l}_attn_{j}",
+                              f"decoder.up.{l}.attn.{j}")
         if l != 0:
             km.conv(f"decoder/up_{l}_upsample",
                     f"decoder.up.{l}.upsample.conv")
     km.norm("decoder/norm_out/GroupNorm_0", "decoder.norm_out")
     km.conv("decoder/conv_out", "decoder.conv_out")
+
+
+def convert_vae(state: Dict[str, np.ndarray],
+                ch_mult: Tuple[int, ...] = (1, 2, 4, 4),
+                num_res_blocks: int = 2,
+                prefix: str = "first_stage_model.",
+                attn_resolutions: Tuple[int, ...] = (),
+                resolution: int = 256) -> Dict:
+    src = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+    km = KeyMap(src)
+    _map_ldm_backbone(km, ch_mult, num_res_blocks, attn_resolutions,
+                      resolution)
     km.conv("quant_conv", "quant_conv")
     km.conv("post_quant_conv", "post_quant_conv")
     return {"params": unflatten(km.out)}
+
+
+def convert_vq(state: Dict[str, np.ndarray],
+               ch_mult: Tuple[int, ...],
+               num_res_blocks: int,
+               prefix: str = "first_stage_model.",
+               attn_resolutions: Tuple[int, ...] = (),
+               resolution: int = 256) -> Dict:
+    """VQModel(Interface) checkpoint (autoencoder.py:14-120) -> Flax pytree.
+
+    Same backbone mapping as the KL VAE plus the codebook
+    (``quantize.embedding.weight`` — taming VectorQuantizer2)."""
+    src = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+    km = KeyMap(src)
+    _map_ldm_backbone(km, ch_mult, num_res_blocks, attn_resolutions,
+                      resolution)
+    km.conv("quant_conv", "quant_conv")
+    km.conv("post_quant_conv", "post_quant_conv")
+    km.put("quantize/embedding", km.take("quantize.embedding.weight"))
+    return {"params": unflatten(km.out)}
+
+
+# ---------------------------------------------------------------------------
+# BERT-path text encoder (x_transformer TransformerWrapper layout)
+# ---------------------------------------------------------------------------
+
+def convert_bert_text(state: Dict[str, np.ndarray], depth: int,
+                      prefix: str = "cond_stage_model.transformer.") -> Dict:
+    """x_transformer TransformerWrapper (x_transformer.py:549-650) -> Flax.
+
+    Layer list alternates attention/feedforward entries, each stored as
+    ModuleList([norm, block, residual]); ``to_logits`` is skipped — the
+    embedder runs with return_embeddings=True."""
+    src = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+    km = KeyMap(src)
+    km.put("token_emb", km.take("token_emb.weight"))
+    km.put("pos_emb", km.take("pos_emb.emb.weight"))
+    for i in range(depth):
+        a, f = f"attn_layers.layers.{2 * i}", f"attn_layers.layers.{2 * i + 1}"
+        km.norm(f"attn_ln_{i}/LayerNorm_0", f"{a}.0")
+        for p in ("to_q", "to_k", "to_v"):
+            km.linear(f"attn_{i}/{p}", f"{a}.1.{p}", bias=False)
+        km.linear(f"attn_{i}/to_out", f"{a}.1.to_out")
+        km.norm(f"ff_ln_{i}/LayerNorm_0", f"{f}.0")
+        km.linear(f"ff_{i}/fc1", f"{f}.1.net.0.0")
+        km.linear(f"ff_{i}/fc2", f"{f}.1.net.2")
+    km.norm("norm_out/LayerNorm_0", "norm")
+    return {"params": unflatten(km.out)}
+
+
+# ---------------------------------------------------------------------------
+# VGG16 / LPIPS (torchvision + taming layouts)
+# ---------------------------------------------------------------------------
+
+# conv indices inside torchvision vgg16.features (pools/relus interleave)
+_VGG16_FEATURE_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def convert_vgg16(state: Dict[str, np.ndarray],
+                  prefix: str = "") -> Dict:
+    """torchvision ``vgg16().features`` state_dict -> ``VGG16Features``
+    params (models/lpips.py).  Only the conv trunk — the classifier head is
+    ignored, as LPIPS never uses it."""
+    src = {k[len(prefix):]: v for k, v in state.items()
+           if k.startswith(prefix)}
+    km = KeyMap(src)
+    for j, i in enumerate(_VGG16_FEATURE_IDX):
+        km.conv(f"conv_{j}", f"features.{i}")
+    return {"params": unflatten(km.out)}
+
+
+def convert_lpips(state: Dict[str, np.ndarray],
+                  vgg_state: Dict[str, np.ndarray],
+                  prefix: str = "") -> Dict:
+    """taming/official LPIPS checkpoint (lin heads ``lin{i}.model.1.weight``,
+    a 1x1 no-bias conv (1, C, 1, 1)) + a torchvision VGG16 state_dict ->
+    ``LPIPS`` variables.  The heads collapse to per-channel weight vectors —
+    the same contraction (models/lpips.py:75-81)."""
+    src = {k[len(prefix):]: v for k, v in state.items()
+           if k.startswith(prefix)}
+    km = KeyMap(src)
+    out: Dict[str, Any] = {}
+    for i in range(5):
+        w = km.take(f"lin{i}.model.1.weight")   # (1, C, 1, 1)
+        out[f"lin_{i}"] = w[0, :, 0, 0]
+    out["vgg"] = convert_vgg16(vgg_state)["params"]
+    return {"params": out}
 
 
 # ---------------------------------------------------------------------------
