@@ -1,0 +1,121 @@
+"""First-stage autoencoder training CLI — drives the reference's
+``configs/autoencoder/*.yaml`` (and the first_stage_config of any legacy
+LDM yaml) through the TPU GAN trainer.
+
+Reference equivalent: ``main.py`` fitting ``AutoencoderKL`` / ``VQModel``
+with ``LPIPSWithDiscriminator`` losses
+(`/root/reference/ldm/models/autoencoder.py:142-196,284-380`).
+
+Data: the config's dataset targets (ImageNetSR etc.) resolve through the
+registry; ``--fake-data N`` substitutes N random images for smoke runs in
+environments without the datasets on disk (this image ships none).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+import yaml
+
+from celebbasis_tpu.models.vae import AutoencoderKL, VAEConfig
+from celebbasis_tpu.models.vq import VQModel
+from celebbasis_tpu.train.ae_trainer import AETrainer
+from celebbasis_tpu.utils.config import get
+from celebbasis_tpu.utils.registry import instantiate_from_config
+
+
+def build_first_stage_trainer(cfg: dict, dtype=None):
+    """autoencoder yaml -> (AETrainer, image_size)."""
+    import jax.numpy as jnp
+    dtype = dtype or jnp.bfloat16
+    mp = get(cfg, "model.params", {}) or {}
+    target = get(cfg, "model.target", "")
+    dd = mp.get("ddconfig", {})
+    vcfg = VAEConfig(
+        ch=dd.get("ch", 128), ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+        num_res_blocks=dd.get("num_res_blocks", 2),
+        z_channels=dd.get("z_channels", 4),
+        embed_dim=mp.get("embed_dim", 4), in_ch=dd.get("in_channels", 3),
+        out_ch=dd.get("out_ch", 3),
+        attn_resolutions=tuple(dd.get("attn_resolutions", ()) or ()),
+        double_z=dd.get("double_z", True),
+        resolution=dd.get("resolution", 256))
+    if target.endswith("VQModel") or target.endswith("VQModelInterface"):
+        model = VQModel(vcfg, n_embed=mp["n_embed"], dtype=dtype)
+    elif target.endswith("AutoencoderKL"):
+        model = AutoencoderKL(vcfg, dtype=dtype)
+    else:
+        raise ValueError(f"unsupported autoencoder target {target!r}")
+    loss = instantiate_from_config(mp["lossconfig"])
+    lr = get(cfg, "model.base_learning_rate", 4.5e-6)
+    bs = get(cfg, "data.params.batch_size", 4)
+    # reference main.py: lr = accumulate * ngpu * bs * base_lr (scale_lr)
+    trainer = AETrainer(model, loss, learning_rate=lr * bs,
+                        lr_g_factor=mp.get("lr_g_factor", 1.0))
+    size = get(cfg, "data.params.train.params.size", vcfg.resolution)
+    return trainer, size
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--max-steps", type=int, default=100)
+    ap.add_argument("--image-size", type=int, default=None,
+                    help="override training resolution (smoke runs)")
+    ap.add_argument("--fake-data", type=int, default=0,
+                    help="train on N random images (no datasets on disk)")
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--logdir", default="./logs_ae")
+    ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=23)
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f)
+    trainer, size = build_first_stage_trainer(cfg)
+    size = args.image_size or size
+    bs = args.batch_size or get(cfg, "data.params.batch_size", 4)
+
+    rng = jax.random.key(args.seed)
+    rng, k_init = jax.random.split(rng)
+    state = trainer.init(k_init, image_size=size)
+    print(f"[train_ae] {'VQ' if trainer.is_vq else 'KL'} autoencoder, "
+          f"{size}x{size}, batch {bs}")
+
+    if args.fake_data:
+        data = np.random.default_rng(0).uniform(
+            -1, 1, (args.fake_data, size, size, 3)).astype(np.float32)
+        batches = lambda i: data[(i * bs) % len(data):][:bs]
+    else:
+        ds = instantiate_from_config(get(cfg, "data.params.train"))
+
+        def batches(i):
+            idx = [(i * bs + j) % len(ds) for j in range(bs)]
+            return np.stack([ds[k]["image"] for k in idx])
+
+    os.makedirs(args.logdir, exist_ok=True)
+    metrics = open(os.path.join(args.logdir, "metrics.jsonl"), "a")
+    t0 = time.time()
+    for i in range(args.max_steps):
+        rng, k = jax.random.split(rng)
+        x = batches(i)
+        if x.shape[0] < bs:   # tail wrap
+            x = np.concatenate([x, x[: bs - x.shape[0]]])
+        state, log = trainer.train_batch(state, x, k)
+        if i % args.log_every == 0 or i == args.max_steps - 1:
+            row = {"step": i, "time": round(time.time() - t0, 2),
+                   **{k2: float(v) for k2, v in log.items()}}
+            print(f"[train_ae] {json.dumps(row)}")
+            metrics.write(json.dumps(row) + "\n")
+            metrics.flush()
+    metrics.close()
+    print(f"[train_ae] done: {args.max_steps} steps in "
+          f"{time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,13 @@ def warmup_cosine(base_lr: float, warm_up_steps: int, lr_min: float,
     return fn
 
 
+def _cycle_of(bounds: np.ndarray, step) -> int:
+    """Reference ``find_in_interval`` (lr_scheduler.py:53-58): the boundary
+    step itself still belongs to the *earlier* cycle (``n <= cl``)."""
+    cyc = int(np.searchsorted(bounds, step, side="left"))
+    return min(cyc, len(bounds) - 1)
+
+
 def warmup_cosine_cycles(base_lr: float, warm_up_steps: Sequence[int],
                          f_min: Sequence[float], f_max: Sequence[float],
                          f_start: Sequence[float],
@@ -37,8 +44,7 @@ def warmup_cosine_cycles(base_lr: float, warm_up_steps: Sequence[int],
     bounds = np.cumsum(cycle_lengths)
 
     def fn(step):
-        cyc = int(np.searchsorted(bounds, step, side="right"))
-        cyc = min(cyc, len(cycle_lengths) - 1)
+        cyc = _cycle_of(bounds, step)
         start = bounds[cyc - 1] if cyc > 0 else 0
         s = step - start
         if s < warm_up_steps[cyc]:
@@ -50,6 +56,28 @@ def warmup_cosine_cycles(base_lr: float, warm_up_steps: Sequence[int],
             t = min(t, 1.0)
             mult = f_min[cyc] + 0.5 * (f_max[cyc] - f_min[cyc]) * (
                 1 + np.cos(t * np.pi))
+        return base_lr * mult
+    return fn
+
+
+def lambda_linear(base_lr: float, warm_up_steps: Sequence[int],
+                  f_min: Sequence[float], f_max: Sequence[float],
+                  f_start: Sequence[float], cycle_lengths: Sequence[int]):
+    """LambdaLinearScheduler (lr_scheduler.py:82-98): per-cycle linear warmup
+    then linear decay f_max→f_min across the remaining cycle length.  This is
+    the scheduler every shipped ``txt2img-1p4B-*`` config names."""
+    bounds = np.cumsum(cycle_lengths)
+
+    def fn(step):
+        cyc = _cycle_of(bounds, step)
+        start = bounds[cyc - 1] if cyc > 0 else 0
+        s = step - start
+        if s < warm_up_steps[cyc]:
+            mult = (f_start[cyc] + s * (f_max[cyc] - f_start[cyc])
+                    / max(warm_up_steps[cyc], 1))
+        else:
+            mult = f_min[cyc] + (f_max[cyc] - f_min[cyc]) \
+                * (cycle_lengths[cyc] - s) / cycle_lengths[cyc]
         return base_lr * mult
     return fn
 

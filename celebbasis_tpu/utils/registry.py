@@ -41,6 +41,30 @@ def _personalized(style: bool):
     return make
 
 
+def _legacy_data(name: str):
+    def make(**params):
+        import celebbasis_tpu.data.legacy as mod
+        return getattr(mod, name)(**params)
+    return make
+
+
+def _lr(name: str):
+    def make(**params):
+        import celebbasis_tpu.train.lr_schedule as mod
+        params.pop("verbosity_interval", None)
+        return getattr(mod, name)(1.0, **params)   # reference: base_lr 1.0
+    return make
+
+
+def _ae_loss(name: str):
+    def make(**params):
+        import celebbasis_tpu.train.ae_loss as mod
+        ploss = params.pop("perceptual_loss", "lpips")
+        assert ploss == "lpips", f"unsupported perceptual_loss {ploss!r}"
+        return getattr(mod, name)(mod.DiscLossConfig(**params))
+    return make
+
+
 # reference target -> factory accepting the reference's params
 REFERENCE_TARGETS: Dict[str, Callable] = {
     "ldm.data.face_id.FaceIdDatasetOneShot": _dataset(),
@@ -51,6 +75,30 @@ REFERENCE_TARGETS: Dict[str, Callable] = {
     "ldm.data.personalized.PersonalizedBase": _personalized(False),
     "ldm.data.personalized_style.PersonalizedBase": _personalized(True),
     "torch.nn.Identity": lambda **_: (lambda x: x),
+    # legacy-LDM datasets (ldm/data/lsun.py, imagenet.py; taming faceshq)
+    **{f"ldm.data.lsun.LSUN{name}": _legacy_data(f"LSUN{name}")
+       for name in ("ChurchesTrain", "ChurchesValidation", "BedroomsTrain",
+                    "BedroomsValidation", "CatsTrain", "CatsValidation")},
+    **{f"ldm.data.imagenet.{name}": _legacy_data(name)
+       for name in ("ImageNetTrain", "ImageNetValidation", "ImageNetSRTrain",
+                    "ImageNetSRValidation")},
+    **{f"taming.data.faceshq.{name}": _legacy_data(name)
+       for name in ("FFHQTrain", "FFHQValidation", "CelebAHQTrain",
+                    "CelebAHQValidation")},
+    # LR schedulers (ldm/lr_scheduler.py)
+    "ldm.lr_scheduler.LambdaWarmUpCosineScheduler": _lr("warmup_cosine"),
+    "ldm.lr_scheduler.LambdaWarmUpCosineScheduler2":
+        _lr("warmup_cosine_cycles"),
+    "ldm.lr_scheduler.LambdaLinearScheduler": _lr("lambda_linear"),
+    # first-stage training losses (ldm/modules/losses)
+    "ldm.modules.losses.LPIPSWithDiscriminator":
+        _ae_loss("LPIPSWithDiscriminator"),
+    "ldm.modules.losses.contperceptual.LPIPSWithDiscriminator":
+        _ae_loss("LPIPSWithDiscriminator"),
+    "ldm.modules.losses.vqperceptual.VQLPIPSWithDiscriminator":
+        _ae_loss("VQLPIPSWithDiscriminator"),
+    "taming.modules.losses.vqperceptual.VQLPIPSWithDiscriminator":
+        _ae_loss("VQLPIPSWithDiscriminator"),
 }
 
 
