@@ -1,0 +1,360 @@
+"""BSRGAN blind-SR degradation pipeline — torch-free, seeded.
+
+Parity target: the reference's
+`/root/reference/ldm/modules/image_degradation/bsrgan_light.py` (and the
+heavier ``bsrgan.py`` variant) — the practical degradation model of
+Zhang et al., "Designing a Practical Degradation Model for Deep Blind Image
+Super-Resolution" (arXiv:2103.14006): randomized blur (iso/anisotropic
+Gaussian), multi-stage rescaling, Gaussian/speckle/Poisson noise, and JPEG
+compression, applied in a shuffled order with the final downsample pinned
+last.  Consumed by ``data/legacy.py::ImageNetSR`` for
+``degradation='bsrgan'/'bsrgan_light'``.
+
+Design deltas from the reference (documented, deliberate):
+* one ``np.random.Generator`` threads through every op (the reference mixes
+  the global ``random`` and ``np.random`` states — unseedable per-sample);
+* ``orth(rand(3,3))`` for the correlated-noise mixing basis becomes a QR
+  orthonormalization of the same random matrix (identical distribution
+  family, no scipy.linalg dependency at runtime);
+* JPEG roundtrips through cv2 when present, else PIL (same quality range).
+
+The deterministic sub-kernels (anisotropic_gaussian_kernel,
+gaussian_kernel, blur convolution) are pinned against the reference's own
+functions in tests/test_degradation.py.
+"""
+from __future__ import annotations
+
+import io
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+
+def uint2single(img: np.ndarray) -> np.ndarray:
+    return np.float32(img / 255.0)
+
+
+def single2uint(img: np.ndarray) -> np.ndarray:
+    return np.uint8((img.clip(0, 1) * 255.0).round())
+
+
+# ---------------------------------------------------------------------------
+# kernels (deterministic given args — oracle-tested)
+# ---------------------------------------------------------------------------
+
+def gaussian_kernel(hsize: int, sigma: float) -> np.ndarray:
+    """matlab fspecial('gaussian') (bsrgan_light.py:187-199)."""
+    siz = (hsize - 1.0) / 2.0
+    y, x = np.mgrid[-siz:siz + 1, -siz:siz + 1]
+    h = np.exp(-(x * x + y * y) / (2.0 * sigma * sigma))
+    h[h < np.finfo(float).eps * h.max()] = 0
+    s = h.sum()
+    return h / s if s != 0 else h
+
+
+def anisotropic_gaussian_kernel(ksize: int, theta: float, l1: float,
+                                l2: float) -> np.ndarray:
+    """Rotated anisotropic Gaussian (bsrgan_light.py:65-95): eigenbasis from
+    the rotation of e1 by theta (reflection matrix V), eigenvalues l1/l2,
+    density evaluated on the ksize grid centered like the reference
+    (center = size/2 + 0.5, offsets +1)."""
+    v = np.array([np.cos(theta), np.sin(theta)])
+    V = np.array([[v[0], v[1]], [v[1], -v[0]]])
+    D = np.diag([l1, l2])
+    sigma = V @ D @ np.linalg.inv(V)
+    inv = np.linalg.inv(sigma)
+    center = ksize / 2.0 + 0.5
+    y, x = np.mgrid[0:ksize, 0:ksize]
+    cy, cx = y - center + 1, x - center + 1
+    # multivariate normal pdf up to its constant (cancelled by normalization)
+    q = (inv[0, 0] * cx * cx + (inv[0, 1] + inv[1, 0]) * cx * cy
+         + inv[1, 1] * cy * cy)
+    k = np.exp(-0.5 * q) / (2 * np.pi * np.sqrt(np.linalg.det(sigma)))
+    return k / k.sum()
+
+
+def shift_pixel(x: np.ndarray, sf: int, upper_left: bool = True) -> np.ndarray:
+    """Sub-pixel shift by (sf-1)/2 via bilinear resampling
+    (bsrgan_light.py:98-130; the reference uses scipy interp2d, removed in
+    modern scipy — same math via map_coordinates)."""
+    h, w = x.shape[:2]
+    shift = (sf - 1) * 0.5
+    sign = 1.0 if upper_left else -1.0
+    y1 = np.clip(np.arange(h) + sign * shift, 0, h - 1)
+    x1 = np.clip(np.arange(w) + sign * shift, 0, w - 1)
+    yy, xx = np.meshgrid(y1, x1, indexing="ij")
+    if x.ndim == 2:
+        return ndimage.map_coordinates(x, [yy, xx], order=1, mode="nearest")
+    out = np.empty_like(x)
+    for c in range(x.shape[2]):
+        out[..., c] = ndimage.map_coordinates(x[..., c], [yy, xx], order=1,
+                                              mode="nearest")
+    return out
+
+
+def blur(img: np.ndarray, k: np.ndarray, mode: str = "mirror") -> np.ndarray:
+    """Channel-wise 2-D convolution (the reference's ndimage convolve with
+    an expanded kernel)."""
+    return ndimage.convolve(img, k[:, :, None], mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# resize backends
+# ---------------------------------------------------------------------------
+
+_CV2_INTERP = (1, 2, 3)   # linear, cubic, area — the reference's choices
+
+
+def _resize(img: np.ndarray, w: int, h: int, interp: int) -> np.ndarray:
+    try:
+        import cv2
+        return cv2.resize(img, (w, h), interpolation=interp)
+    except ImportError:                           # pragma: no cover
+        from PIL import Image
+        pil = {1: Image.BILINEAR, 2: Image.BICUBIC, 3: Image.BOX}[interp]
+        arr = Image.fromarray(single2uint(img)).resize((w, h), resample=pil)
+        return uint2single(np.asarray(arr))
+
+
+# ---------------------------------------------------------------------------
+# randomized degradation ops (rng-threaded versions of bsrgan_light.py)
+# ---------------------------------------------------------------------------
+
+def add_blur(img: np.ndarray, sf: int, rng: np.random.Generator,
+             light: bool = True) -> np.ndarray:
+    """bsrgan_light.py:325-340 (light) / bsrgan.py add_blur (full: wider
+    kernels, no /4 shrink)."""
+    wd2, wd = 4.0 + sf, 2.0 + 0.2 * sf
+    if light:
+        wd2, wd = wd2 / 4, wd / 4
+    if rng.random() < 0.5:
+        k = anisotropic_gaussian_kernel(
+            ksize=int(rng.integers(2, 12)) + 3, theta=rng.random() * np.pi,
+            l1=wd2 * rng.random(), l2=wd2 * rng.random())
+    else:
+        k = gaussian_kernel(int(rng.integers(2, 5)) + 3, wd * rng.random())
+    return blur(img, k, mode="mirror")
+
+
+def add_resize(img: np.ndarray, sf: int,
+               rng: np.random.Generator) -> np.ndarray:
+    rnum = rng.random()
+    if rnum > 0.8:
+        sf1 = rng.uniform(1, 2)
+    elif rnum < 0.7:
+        sf1 = rng.uniform(0.5 / sf, 1)
+    else:
+        sf1 = 1.0
+    img = _resize(img, int(sf1 * img.shape[1]), int(sf1 * img.shape[0]),
+                  int(rng.choice(_CV2_INTERP)))
+    return np.clip(img, 0.0, 1.0)
+
+
+def _orth3(rng: np.random.Generator) -> np.ndarray:
+    q, _ = np.linalg.qr(rng.random((3, 3)))
+    return q
+
+
+def add_gaussian_noise(img: np.ndarray, rng: np.random.Generator,
+                       noise_level1: int = 2,
+                       noise_level2: int = 25) -> np.ndarray:
+    """bsrgan_light.py:373-387: color / grayscale / channel-correlated."""
+    noise_level = int(rng.integers(noise_level1, noise_level2 + 1))
+    rnum = rng.random()
+    if rnum > 0.6:
+        img = img + rng.normal(0, noise_level / 255.0,
+                               img.shape).astype(np.float32)
+    elif rnum < 0.4:
+        img = img + rng.normal(0, noise_level / 255.0,
+                               (*img.shape[:2], 1)).astype(np.float32)
+    else:
+        L = noise_level2 / 255.0
+        D = np.diag(rng.random(3))
+        U = _orth3(rng)
+        conv = np.abs(L ** 2 * (U.T @ D @ U))
+        img = img + rng.multivariate_normal(
+            [0, 0, 0], conv, img.shape[:2]).astype(np.float32)
+    return np.clip(img, 0.0, 1.0)
+
+
+def add_speckle_noise(img: np.ndarray, rng: np.random.Generator,
+                      noise_level1: int = 2,
+                      noise_level2: int = 25) -> np.ndarray:
+    noise_level = int(rng.integers(noise_level1, noise_level2 + 1))
+    img = np.clip(img, 0.0, 1.0)
+    rnum = rng.random()
+    if rnum > 0.6:
+        img = img + img * rng.normal(0, noise_level / 255.0,
+                                     img.shape).astype(np.float32)
+    elif rnum < 0.4:
+        img = img + img * rng.normal(0, noise_level / 255.0,
+                                     (*img.shape[:2], 1)).astype(np.float32)
+    else:
+        L = noise_level2 / 255.0
+        D = np.diag(rng.random(3))
+        U = _orth3(rng)
+        conv = np.abs(L ** 2 * (U.T @ D @ U))
+        img = img + img * rng.multivariate_normal(
+            [0, 0, 0], conv, img.shape[:2]).astype(np.float32)
+    return np.clip(img, 0.0, 1.0)
+
+
+def add_poisson_noise(img: np.ndarray,
+                      rng: np.random.Generator) -> np.ndarray:
+    img = np.clip((img * 255.0).round(), 0, 255) / 255.0
+    vals = 10 ** (2 * rng.random() + 2.0)
+    if rng.random() < 0.5:
+        img = rng.poisson(img * vals).astype(np.float32) / vals
+    else:
+        gray = np.dot(img[..., :3], [0.299, 0.587, 0.114])
+        gray = np.clip((gray * 255.0).round(), 0, 255) / 255.0
+        img = img + (rng.poisson(gray * vals).astype(np.float32) / vals
+                     - gray)[:, :, None]
+    return np.clip(img, 0.0, 1.0)
+
+
+def add_jpeg_noise(img: np.ndarray, rng: np.random.Generator,
+                   q_low: int = 80, q_high: int = 95) -> np.ndarray:
+    quality = int(rng.integers(q_low, q_high + 1))
+    u8 = single2uint(img)
+    try:
+        import cv2
+        ok, enc = cv2.imencode(".jpg", cv2.cvtColor(u8, cv2.COLOR_RGB2BGR),
+                               [int(cv2.IMWRITE_JPEG_QUALITY), quality])
+        return uint2single(cv2.cvtColor(cv2.imdecode(enc, 1),
+                                        cv2.COLOR_BGR2RGB))
+    except ImportError:                           # pragma: no cover
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(u8).save(buf, format="JPEG", quality=quality)
+        return uint2single(np.asarray(Image.open(buf).convert("RGB")))
+
+
+# ---------------------------------------------------------------------------
+# full pipelines
+# ---------------------------------------------------------------------------
+
+def degradation_bsrgan_variant(image: np.ndarray, sf: int = 4,
+                               rng: Optional[np.random.Generator] = None,
+                               light: bool = True) -> Dict[str, np.ndarray]:
+    """bsrgan_light.py:534-622 (light) / bsrgan.py:530- (full): shuffled
+    degradation chain with downsample3 pinned after downsample2 and a final
+    JPEG pass.  ``image`` is uint8 HWC RGB; returns {"image": uint8 LR}."""
+    rng = rng or np.random.default_rng()
+    img = uint2single(image)
+    jpeg_prob, scale2_prob = 0.9, 0.25
+    h1, w1 = img.shape[:2]
+    img = img.copy()[:w1 - w1 % sf, :h1 - h1 % sf, ...]   # mod crop (ref quirk: w/h swapped — harmless on square crops, replicated)
+
+    if sf == 4 and rng.random() < scale2_prob:            # early 1/2
+        img = _resize(img, int(img.shape[1] / 2), int(img.shape[0] / 2),
+                      int(rng.choice(_CV2_INTERP)))
+        img = np.clip(img, 0.0, 1.0)
+        sf = 2
+
+    order = list(rng.permutation(7))
+    i2, i3 = order.index(2), order.index(3)
+    if i2 > i3:                                           # downsample3 last
+        order[i2], order[i3] = order[i3], order[i2]
+
+    a, b = img.shape[1], img.shape[0]
+    noise_levels = (1, 2) if light else (2, 25)
+    for i in order:
+        if i == 0:
+            img = add_blur(img, sf=sf, rng=rng, light=light)
+        elif i == 1:
+            if not light:   # the light variant comments this second blur out
+                img = add_blur(img, sf=sf, rng=rng, light=light)
+        elif i == 2:
+            a, b = img.shape[1], img.shape[0]
+            if rng.random() < 0.8:                        # random rescale
+                sf1 = rng.uniform(1, 2 * sf)
+                img = _resize(img, int(img.shape[1] / sf1),
+                              int(img.shape[0] / sf1),
+                              int(rng.choice(_CV2_INTERP)))
+            else:                                         # shifted-kernel blur + nearest ds
+                k = gaussian_kernel(25, rng.uniform(0.1, 0.6 * sf))
+                ks = shift_pixel(k, sf)
+                img = blur(img, ks / ks.sum(), mode="mirror")
+                img = img[0::sf, 0::sf, ...]
+            img = np.clip(img, 0.0, 1.0)
+        elif i == 3:                                      # final downsample
+            img = _resize(img, int(a / sf), int(b / sf),
+                          int(rng.choice(_CV2_INTERP)))
+            img = np.clip(img, 0.0, 1.0)
+        elif i == 4:
+            img = add_gaussian_noise(img, rng, *noise_levels)
+        elif i == 5:
+            if rng.random() < jpeg_prob:
+                img = add_jpeg_noise(img, rng)
+        # i == 6: camera ISP model — reference gates on an isp_model that
+        # is never provided (bsrgan_light.py:612-617); skipped identically
+    img = add_jpeg_noise(img, rng)
+    return {"image": single2uint(img)}
+
+
+def degradation_bsrgan(img: np.ndarray, sf: int = 4, lq_patchsize: int = 72,
+                       rng: Optional[np.random.Generator] = None,
+                       light: bool = True
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Paired LR/HQ variant (bsrgan_light.py:442-531): both blur slots
+    active, rescale prob 0.75, Gaussian noise level 2-8, then an aligned
+    (lq_patchsize, sf*lq_patchsize) crop pair.  float [0,1] in/out."""
+    rng = rng or np.random.default_rng()
+    img = uint2single(img) if img.dtype == np.uint8 else np.float32(img)
+    jpeg_prob, scale2_prob = 0.9, 0.25
+    sf_ori = sf
+    h1, w1 = img.shape[:2]
+    img = img.copy()[:w1 - w1 % sf, :h1 - h1 % sf, ...]
+    h, w = img.shape[:2]
+    if h < lq_patchsize * sf or w < lq_patchsize * sf:
+        raise ValueError(f"img size ({h1}X{w1}) is too small!")
+    hq = img.copy()
+
+    if sf == 4 and rng.random() < scale2_prob:
+        img = _resize(img, int(img.shape[1] / 2), int(img.shape[0] / 2),
+                      int(rng.choice(_CV2_INTERP)))
+        img = np.clip(img, 0.0, 1.0)
+        sf = 2
+
+    order = list(rng.permutation(7))
+    i2, i3 = order.index(2), order.index(3)
+    if i2 > i3:
+        order[i2], order[i3] = order[i3], order[i2]
+
+    a, b = img.shape[1], img.shape[0]
+    for i in order:
+        if i in (0, 1):
+            img = add_blur(img, sf=sf, rng=rng, light=light)
+        elif i == 2:
+            a, b = img.shape[1], img.shape[0]
+            if rng.random() < 0.75:
+                sf1 = rng.uniform(1, 2 * sf)
+                img = _resize(img, int(img.shape[1] / sf1),
+                              int(img.shape[0] / sf1),
+                              int(rng.choice(_CV2_INTERP)))
+            else:
+                k = gaussian_kernel(25, rng.uniform(0.1, 0.6 * sf))
+                ks = shift_pixel(k, sf)
+                img = blur(img, ks / ks.sum(), mode="mirror")
+                img = img[0::sf, 0::sf, ...]
+            img = np.clip(img, 0.0, 1.0)
+        elif i == 3:
+            img = _resize(img, int(a / sf), int(b / sf),
+                          int(rng.choice(_CV2_INTERP)))
+            img = np.clip(img, 0.0, 1.0)
+        elif i == 4:
+            img = add_gaussian_noise(img, rng, 2, 8)
+        elif i == 5:
+            if rng.random() < jpeg_prob:
+                img = add_jpeg_noise(img, rng)
+        # i == 6: ISP model never provided — skipped like the reference
+    img = add_jpeg_noise(img, rng)
+
+    rh = int(rng.integers(0, img.shape[0] - lq_patchsize + 1))
+    rw = int(rng.integers(0, img.shape[1] - lq_patchsize + 1))
+    lq = img[rh:rh + lq_patchsize, rw:rw + lq_patchsize]
+    hq = hq[rh * sf_ori:(rh + lq_patchsize) * sf_ori,
+            rw * sf_ori:(rw + lq_patchsize) * sf_ori]
+    return lq, hq

@@ -259,16 +259,22 @@ class ImageNetSR:
                  max_crop_f: float = 1.0, random_crop: bool = True,
                  seed: Optional[int] = None):
         assert size % downscale_f == 0
+        self._bsr = None
         if degradation.startswith("bsrgan"):
-            raise NotImplementedError(
-                "bsrgan degradations need the vendored BSR pipeline the "
-                "reference pulls from taming; use a pil_*/cv_* interpolation "
-                "degradation (imagenet.py:306-334)")
-        name = degradation.split("_", 1)[-1]
-        if name == "area":
-            self._lr_interp = Image.BOX   # PIL's area-style filter
+            # the reference's degradation_fn_bsr(_light) pipelines
+            # (imagenet.py:306-311 -> image_degradation/bsrgan*.py)
+            from celebbasis_tpu.data.degradation import \
+                degradation_bsrgan_variant
+            light = degradation.endswith("light")
+            self._bsr = lambda img, rng: degradation_bsrgan_variant(
+                img, sf=downscale_f, rng=rng, light=light)["image"]
+            self._lr_interp = None
         else:
-            self._lr_interp = _PIL_INTERP[name]
+            name = degradation.split("_", 1)[-1]
+            if name == "area":
+                self._lr_interp = Image.BOX   # PIL's area-style filter
+            else:
+                self._lr_interp = _PIL_INTERP[name]
         self.base = base
         self.size = size
         self.LR_size = size // downscale_f
@@ -294,10 +300,14 @@ class ImageNetSR:
             left = int(self._rng.integers(0, w - side + 1))
         crop = Image.fromarray(image[top:top + side, left:left + side])
         hr = crop.resize((self.size, self.size), resample=Image.BOX)
-        lr = hr.resize((self.LR_size, self.LR_size),
-                       resample=self._lr_interp)
+        if self._bsr is not None:
+            lr_arr = self._bsr(np.asarray(hr, dtype=np.uint8), self._rng)
+            example["LR_image"] = (lr_arr / 127.5 - 1.0).astype(np.float32)
+        else:
+            lr = hr.resize((self.LR_size, self.LR_size),
+                           resample=self._lr_interp)
+            example["LR_image"] = _to_pm1(lr)
         example["image"] = _to_pm1(hr)
-        example["LR_image"] = _to_pm1(lr)
         return example
 
 

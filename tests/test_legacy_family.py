@@ -241,8 +241,12 @@ def test_imagenet_folder_and_sr(tmp_path):
     assert ex["image"].shape == (16, 16, 3)
     assert ex["LR_image"].shape == (4, 4, 3)
 
-    with pytest.raises(NotImplementedError):
-        ImageNetSR(ds, size=16, degradation="bsrgan")
+    bsr = ImageNetSR(ImageNetFolder(root, process_images=False), size=16,
+                     degradation="bsrgan_light", downscale_f=4, seed=2)
+    ex = bsr[1]
+    assert ex["image"].shape == (16, 16, 3)
+    assert ex["LR_image"].shape == (4, 4, 3)
+    assert -1.0 <= ex["LR_image"].min() and ex["LR_image"].max() <= 1.0
     with pytest.raises(FileNotFoundError):
         ImageNetFolder(str(tmp_path / "missing"))
 
