@@ -365,3 +365,119 @@ class UNetModel(nn.Module):
         h = nn.silu(h)
         h = ZeroConv(cfg.out_channels, dtype=self.dtype, name="conv_out")(h)
         return h.astype(jnp.float32)
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP-style attention pooling (openaimodel.py:32-59): prepend the
+    spatial mean as a query token, learned positional embedding, one
+    multi-head attention round, return the pooled token.  The reference's
+    1x1 conv1d projections are Dense layers over tokens; its QKVAttention
+    (new order) chunks q|k|v along channels *before* splitting heads —
+    matched here by slicing the fused projection in thirds."""
+    num_head_channels: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        t = x.reshape(B, H * W, C)
+        t = jnp.concatenate([jnp.mean(t, axis=1, keepdims=True), t], axis=1)
+        pos = self.param("pos_emb",
+                         nn.initializers.normal(stddev=1.0 / C ** 0.5),
+                         (H * W + 1, C), jnp.float32)
+        t = t + pos[None]
+        qkv = nn.Dense(3 * C, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="qkv")(t)
+        q, k, v = jnp.split(qkv, 3, axis=-1)   # channel-chunk (new order)
+        out = attention(q, k, v, num_heads=C // self.num_head_channels)
+        out = nn.Dense(self.out_channels, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="c_proj")(out)
+        return out[:, 0].astype(jnp.float32)
+
+
+class EncoderUNetModel(nn.Module):
+    """The half-UNet classifier trunk (openaimodel.py:745-958): the encoder
+    levels + middle block of :class:`UNetModel`, then a pooling head —
+    'adaptive' (GN→SiLU→global-avg→zero 1x1), 'attention' (AttentionPool2d),
+    or 'spatial'/'spatial_v2' (concatenated per-block spatial means → MLP).
+    Used by the noise-level classifier (ldm/models/diffusion/classifier.py).
+
+    ``cfg.out_channels`` is the number of classes; ``image_size`` (latent
+    resolution) sizes the attention pool's positional table."""
+    cfg: UNetConfig
+    image_size: int = 64
+    pool: str = "adaptive"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, timesteps: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        ch0 = cfg.model_channels
+        spatial = self.pool.startswith("spatial")
+
+        t_emb = timestep_embedding(timesteps, ch0)
+        emb = nn.Dense(ch0 * 4, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="time_fc1")(t_emb.astype(self.dtype))
+        emb = nn.Dense(ch0 * 4, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="time_fc2")(nn.silu(emb))
+
+        x = x.astype(self.dtype)
+        h = nn.Conv(ch0, (3, 3), padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv_in")(x)
+        means = [jnp.mean(h.astype(jnp.float32), axis=(1, 2))]
+        ds = 1
+        for level, mult in enumerate(cfg.channel_mult):
+            ch = ch0 * mult
+            for j in range(cfg.num_res_blocks):
+                h = ResBlock(ch, self.dtype, cfg.dropout,
+                             cfg.use_scale_shift_norm,
+                             name=f"down_{level}_res_{j}")(h, emb)
+                if ds in cfg.attention_resolutions:
+                    h = AttentionBlock(cfg.heads_for(ch), self.dtype,
+                                       name=f"down_{level}_attn_{j}")(h)
+                means.append(jnp.mean(h.astype(jnp.float32), axis=(1, 2)))
+            if level != len(cfg.channel_mult) - 1:
+                if cfg.resblock_updown:
+                    h = ResBlock(ch, self.dtype, cfg.dropout,
+                                 cfg.use_scale_shift_norm, down=True,
+                                 name=f"down_{level}_downsample")(h, emb)
+                else:
+                    h = nn.Conv(ch, (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1)), dtype=self.dtype,
+                                param_dtype=jnp.float32,
+                                name=f"down_{level}_downsample")(h)
+                means.append(jnp.mean(h.astype(jnp.float32), axis=(1, 2)))
+                ds *= 2
+        ch = ch0 * cfg.channel_mult[-1]
+        h = ResBlock(ch, self.dtype, cfg.dropout, cfg.use_scale_shift_norm,
+                     name="mid_res_0")(h, emb)
+        h = AttentionBlock(cfg.heads_for(ch), self.dtype,
+                           name="mid_attn")(h)
+        h = ResBlock(ch, self.dtype, cfg.dropout, cfg.use_scale_shift_norm,
+                     name="mid_res_1")(h, emb)
+
+        if spatial:
+            means.append(jnp.mean(h.astype(jnp.float32), axis=(1, 2)))
+            feats = jnp.concatenate(means, axis=-1)
+            hid = nn.Dense(2048, param_dtype=jnp.float32, name="fc1")(feats)
+            if self.pool == "spatial_v2":
+                # torch GroupNorm default eps (1e-5) — the head normalizes
+                # raw MLP features where the 1e-6-vs-1e-5 gap is visible
+                hid = nn.silu(GroupNorm(epsilon=1e-5, name="fc_norm")(hid))
+            else:
+                hid = nn.relu(hid)
+            return nn.Dense(cfg.out_channels, param_dtype=jnp.float32,
+                            name="fc2")(hid).astype(jnp.float32)
+
+        h = nn.silu(GroupNorm(name="norm_out")(h))
+        if self.pool == "adaptive":
+            h = jnp.mean(h, axis=(1, 2), keepdims=True)
+            h = ZeroConv(cfg.out_channels, kernel=1, dtype=self.dtype,
+                         name="conv_out")(h)
+            return h.reshape(h.shape[0], -1).astype(jnp.float32)
+        if self.pool == "attention":
+            assert cfg.num_head_channels != -1
+            return AttentionPool2d(cfg.num_head_channels, cfg.out_channels,
+                                   self.dtype, name="attn_pool")(h)
+        raise NotImplementedError(f"Unexpected {self.pool} pooling")

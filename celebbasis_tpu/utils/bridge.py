@@ -344,6 +344,59 @@ def convert_bert_text(state: Dict[str, np.ndarray], depth: int,
     return {"params": unflatten(km.out)}
 
 
+def convert_encoder_unet(state: Dict[str, np.ndarray],
+                         cfg: "UNetConfig", pool: str = "adaptive",
+                         prefix: str = "model.") -> Dict:
+    """EncoderUNetModel checkpoint (openaimodel.py:745-958) -> Flax pytree.
+    The encoder half of convert_unet plus the pooling head."""
+    src = {k[len(prefix):]: v for k, v in state.items()
+           if k.startswith(prefix)}
+    km = KeyMap(src)
+    km.linear("time_fc1", "time_embed.0")
+    km.linear("time_fc2", "time_embed.2")
+    km.conv("conv_in", "input_blocks.0.0")
+    idx, ds = 1, 1
+    for level in range(len(cfg.channel_mult)):
+        for j in range(cfg.num_res_blocks):
+            _map_resblock(km, f"down_{level}_res_{j}", f"input_blocks.{idx}.0")
+            if ds in cfg.attention_resolutions:
+                _map_attnblock(km, f"down_{level}_attn_{j}",
+                               f"input_blocks.{idx}.1")
+            idx += 1
+        if level != len(cfg.channel_mult) - 1:
+            if cfg.resblock_updown:
+                _map_resblock(km, f"down_{level}_downsample",
+                              f"input_blocks.{idx}.0")
+            else:
+                km.conv(f"down_{level}_downsample", f"input_blocks.{idx}.0.op")
+            idx += 1
+            ds *= 2
+    _map_resblock(km, "mid_res_0", "middle_block.0")
+    _map_attnblock(km, "mid_attn", "middle_block.1")
+    _map_resblock(km, "mid_res_1", "middle_block.2")
+    if pool == "adaptive":
+        km.norm("norm_out/GroupNorm_0", "out.0")
+        km.conv("conv_out/Conv_0", "out.3")
+    elif pool == "attention":
+        km.norm("norm_out/GroupNorm_0", "out.0")
+        km.put("attn_pool/pos_emb",
+               np.transpose(km.take("out.2.positional_embedding"), (1, 0)))
+        km.put("attn_pool/qkv/kernel",
+               _conv1d_lin(km.take("out.2.qkv_proj.weight")))
+        km.put("attn_pool/qkv/bias", km.take("out.2.qkv_proj.bias"))
+        km.put("attn_pool/c_proj/kernel",
+               _conv1d_lin(km.take("out.2.c_proj.weight")))
+        km.put("attn_pool/c_proj/bias", km.take("out.2.c_proj.bias"))
+    elif pool == "spatial":
+        km.linear("fc1", "out.0")
+        km.linear("fc2", "out.2")
+    elif pool == "spatial_v2":
+        km.linear("fc1", "out.0")
+        km.norm("fc_norm/GroupNorm_0", "out.1")
+        km.linear("fc2", "out.3")
+    return {"params": unflatten(km.out)}
+
+
 # ---------------------------------------------------------------------------
 # VGG16 / LPIPS (torchvision + taming layouts)
 # ---------------------------------------------------------------------------
