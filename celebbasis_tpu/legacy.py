@@ -154,14 +154,20 @@ class LegacyLDM:
                                       method="decode")
 
     # -- conditioning -------------------------------------------------------------
-    def get_learned_conditioning(self, params: Dict, batch) -> Optional[jax.Array]:
-        """prompts/labels -> (B, T, D) context (ddpm.py:599-611)."""
+    def get_learned_conditioning(self, params: Dict, batch,
+                                 inject: Optional[Callable] = None
+                                 ) -> Optional[jax.Array]:
+        """prompts/labels -> (B, T, D) context (ddpm.py:599-611).  ``inject``
+        is the textual-inversion hook threaded to the token-embedding layer
+        (x_transformer.py:619-623 / modules.py embedding_manager kwarg)."""
         if self.cond_kind == "uncond":
             return None
         if self.cond_kind == "class":
             labels = jnp.asarray(batch, jnp.int32)
             return self.cond_stage.apply(params["cond_stage"], labels)
         ids = jnp.asarray(self.tokenizer(batch))
+        if inject is not None:
+            return self.cond_stage.apply(params["cond_stage"], ids, inject)
         return self.cond_stage.apply(params["cond_stage"], ids)
 
     def eps_model(self, params: Dict) -> Callable:
@@ -205,33 +211,40 @@ class LegacyLDM:
 
     # -- sampling ----------------------------------------------------------------
     def make_sample_fn(self, num_steps: int = 50, eta: float = 0.0,
-                       ddim: bool = True,
-                       force_not_quantize: bool = False) -> Callable:
+                       ddim: bool = True, guidance_scale: float = 1.0,
+                       force_not_quantize: bool = False,
+                       inject: Optional[Callable] = None) -> Callable:
         """(params, rng, batch_or_none, n) -> images float32 [-1,1] NHWC.
         DDIM via the scan sampler (sampler.py:88) or full-chain DDPM
-        (scripts/sample_diffusion.py convsample / convsample_ddim)."""
+        (scripts/sample_diffusion.py convsample / convsample_ddim).
+        ``guidance_scale`` > 1 enables CFG against the empty prompt
+        (evaluate_model.py / LDMCLIPEvaluator: scale 5.0 vs n*[''])."""
         sched = make_schedule("linear", self.timesteps,
                               linear_start=self.linear_start,
                               linear_end=self.linear_end)
 
         def fn(params, rng, cond_batch, n: int):
             shape = (n, self.image_size, self.image_size, self.channels)
-            ctx = self.get_learned_conditioning(params, cond_batch) \
+            ctx = self.get_learned_conditioning(params, cond_batch, inject) \
                 if cond_batch is not None else None
             eps = self.eps_model(params)
+            uncond = None
             if ctx is None:
                 model = lambda x, t, c: eps(x, t, None)
                 cond = jnp.zeros((n, 1, 1))
             else:
                 model, cond = eps, ctx
-            scfg = SamplerConfig(guidance_scale=1.0, eta=eta)
+                if guidance_scale != 1.0 and self.cond_kind in ("bert",
+                                                                "clip"):
+                    uncond = self.get_learned_conditioning(params, [""] * n)
+            scfg = SamplerConfig(guidance_scale=guidance_scale, eta=eta)
             if ddim:
                 dd = make_ddim_schedule(sched, num_steps, eta=eta)
                 z = ddim_sample(model, dd, rng=rng, shape=shape,
-                                cond=cond, cfg=scfg)
+                                cond=cond, uncond=uncond, cfg=scfg)
             else:
                 z = ddpm_sample(model, sched, rng=rng, shape=shape,
-                                cond=cond, cfg=scfg)
+                                cond=cond, uncond=uncond, cfg=scfg)
             return self.decode_first_stage(params, z,
                                            force_not_quantize=force_not_quantize)
         return fn

@@ -480,3 +480,30 @@ def test_ae_trainer_vq_runs_with_perplexity():
     assert np.isfinite(float(log["train/quant_loss"]))
     assert 1.0 <= float(log["train/perplexity"]) <= 16.0
     assert np.isfinite(float(log["train/disc_loss"]))
+
+
+def test_evaluate_model_ti_inject(tmp_path):
+    """TI embeddings injected at the BERT token-embedding layer change the
+    conditioning exactly at placeholder rows (evaluate_model.py +
+    x_transformer.py:619-623 hook)."""
+    import yaml as _yaml
+    from celebbasis_tpu.cli.evaluate_model import make_ti_inject
+    from celebbasis_tpu.legacy import build_legacy_ldm
+    from celebbasis_tpu.utils.pt_io import save_pt
+
+    with open("/root/repo/configs/tiny_legacy_bert.yaml") as f:
+        ldm = build_legacy_ldm(_yaml.safe_load(f), dtype=jnp.float32)
+    params = ldm.init_params(jax.random.key(0))
+
+    vec = np.random.default_rng(0).normal(size=(1, 48)).astype(np.float32)
+    pt = str(tmp_path / "emb.pt")
+    save_pt({"string_to_param": {"*": vec}}, pt)
+    inject = make_ti_inject(ldm, pt)
+
+    base = ldm.get_learned_conditioning(params, ["a photo of a dog"])
+    same = ldm.get_learned_conditioning(params, ["a photo of a dog"], inject)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same), atol=1e-6)
+    with_ph = ldm.get_learned_conditioning(params, ["a photo of a *"])
+    injected = ldm.get_learned_conditioning(params, ["a photo of a *"],
+                                            inject)
+    assert not np.allclose(np.asarray(with_ph), np.asarray(injected))
