@@ -1,0 +1,199 @@
+"""Legacy latent-diffusion training CLI — the reference ``main.py`` fitting
+any `configs/latent-diffusion/*.yaml`: frozen first stage, eps-prediction
+loss on latents, optional trainable cond stage
+(``cond_stage_trainable: true``, e.g. cin256-v2), LambdaLinearScheduler,
+EMA weights, scale_by_std latent calibration.
+
+TPU-first: one jitted train step over {unet (+cond_stage)} with the frozen
+first-stage encode jitted separately (or skipped entirely for cached
+latents); EMA is a pure tree-map update.
+
+Smoke mode: ``--fake-data N`` trains on random images when the config's
+datasets are not on disk (this image ships none).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+
+from celebbasis_tpu.core.losses import ema_init, ema_update
+from celebbasis_tpu.diffusion.ddpm import ScheduleArrays, q_sample
+from celebbasis_tpu.diffusion.schedules import make_schedule
+from celebbasis_tpu.legacy import LegacyLDM, build_legacy_ldm
+from celebbasis_tpu.utils.config import get
+from celebbasis_tpu.utils.registry import instantiate_from_config
+
+
+def make_legacy_trainer(ldm: LegacyLDM, cfg: Dict,
+                        batch_size: int) -> Tuple[Callable, optax.GradientTransformation, bool]:
+    """-> (jitted step(params, opt_state, z, cond_input, rng) ->
+    (params, opt_state, loss), optimizer, cond_trainable).
+
+    Matches LatentDiffusion.configure_optimizers (ddpm.py:1442-1466):
+    AdamW over unet (+cond stage when cond_stage_trainable), lr =
+    bs × base_lr (main.py scale_lr on one device), optional lambda
+    scheduler from scheduler_config."""
+    mp = get(cfg, "model.params", {}) or {}
+    base_lr = get(cfg, "model.base_learning_rate", 1e-4)
+    lr = base_lr * batch_size
+    sched_cfg = mp.get("scheduler_config")
+    if sched_cfg:
+        # only the lambda-linear family appears in shipped configs; use its
+        # traceable jnp twin so the schedule lives inside the jitted step
+        assert sched_cfg["target"].endswith("LambdaLinearScheduler"), \
+            sched_cfg["target"]
+        from celebbasis_tpu.train.lr_schedule import lambda_linear_traceable
+        p = dict(sched_cfg.get("params", {}) or {})
+        p.pop("verbosity_interval", None)
+        tx = optax.adamw(lambda_linear_traceable(lr, **p))
+    else:
+        tx = optax.adamw(lr)
+    cond_trainable = bool(mp.get("cond_stage_trainable", False)) \
+        and ldm.cond_kind != "uncond"
+
+    arrays = ScheduleArrays.from_schedule(
+        make_schedule("linear", ldm.timesteps,
+                      linear_start=ldm.linear_start,
+                      linear_end=ldm.linear_end))
+
+    def ctx_of(trainable, frozen, cond_input):
+        if cond_input is None:
+            return None
+        cs = trainable.get("cond_stage", frozen.get("cond_stage"))
+        if ldm.cond_kind == "class":
+            return ldm.cond_stage.apply(cs, cond_input)
+        return ldm.cond_stage.apply(cs, cond_input)   # token ids
+
+    def loss_fn(trainable, frozen, z, cond_input, rng):
+        kt, kn = jax.random.split(rng)
+        B = z.shape[0]
+        t = jax.random.randint(kt, (B,), 0, ldm.timesteps)
+        noise = jax.random.normal(kn, z.shape)
+        x_t = q_sample(arrays, z, t, noise)
+        ctx = ctx_of(trainable, frozen, cond_input)
+        eps = ldm.unet.apply(trainable["unet"], x_t, t, ctx)
+        if ldm.loss_type == "l1":
+            return jnp.mean(jnp.abs(eps - noise))
+        return jnp.mean((eps - noise) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, z, cond_input, rng):
+        trainable = {"unet": params["unet"]}
+        if cond_trainable:
+            trainable["cond_stage"] = params["cond_stage"]
+        loss, grads = jax.value_and_grad(loss_fn)(trainable, params, z,
+                                                  cond_input, rng)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        params = dict(params, **trainable)
+        return params, opt_state, loss
+
+    def init_opt(params):
+        trainable = {"unet": params["unet"]}
+        if cond_trainable:
+            trainable["cond_stage"] = params["cond_stage"]
+        return tx.init(trainable)
+
+    return step, init_opt, cond_trainable
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--max-steps", type=int, default=100)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--fake-data", type=int, default=0)
+    ap.add_argument("--no-ema", action="store_true")
+    ap.add_argument("--logdir", default="./logs_legacy")
+    ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f)
+    ldm = build_legacy_ldm(cfg)
+    bs = args.batch_size or get(cfg, "data.params.batch_size", 4)
+    use_ema = get(cfg, "model.params.use_ema", True) and not args.no_ema
+
+    rng = jax.random.key(args.seed)
+    rng, k_init = jax.random.split(rng)
+    params = ldm.init_params(k_init)
+    step_fn, init_opt, cond_trainable = make_legacy_trainer(ldm, cfg, bs)
+    opt_state = init_opt(params)
+    ema = ema_init(params["unet"]) if use_ema else None
+    print(f"[train_legacy] {ldm.first_stage_kind}/{ldm.cond_kind} "
+          f"latent {ldm.image_size}^2x{ldm.channels}, batch {bs}, "
+          f"cond_trainable={cond_trainable}, ema={use_ema}")
+
+    img_res = ldm.first_stage.cfg.resolution
+    if args.fake_data:
+        data = np.random.default_rng(0).uniform(
+            -1, 1, (args.fake_data, img_res, img_res, 3)).astype(np.float32)
+        n_classes = (ldm.cond_stage.n_classes
+                     if ldm.cond_kind == "class" else 0)
+        labels = np.random.default_rng(1).integers(
+            0, max(n_classes, 1), (args.fake_data,))
+        caps = [f"a photo number {i}" for i in range(args.fake_data)]
+
+        def batch(i):
+            idx = [(i * bs + j) % args.fake_data for j in range(bs)]
+            return (data[idx], labels[idx], [caps[k] for k in idx])
+    else:
+        ds = instantiate_from_config(get(cfg, "data.params.train"))
+
+        def batch(i):
+            idx = [(i * bs + j) % len(ds) for j in range(bs)]
+            ex = [ds[k] for k in idx]
+            imgs = np.stack([e["image"] for e in ex])
+            lab = np.asarray([e.get("class_label", 0) for e in ex])
+            caps_ = [e.get("caption", "") for e in ex]
+            return imgs, lab, caps_
+
+    # jitted frozen encode (mode latents, like get_input's fallback)
+    encode = jax.jit(lambda p, x: ldm.encode_first_stage(p, x))
+
+    # scale_by_std: calibrate on the first batch (ddpm.py:576-587)
+    if ldm.scale_by_std:
+        imgs0, _, _ = batch(0)
+        ldm.calibrate_scale(params, jnp.asarray(imgs0))
+        encode = jax.jit(lambda p, x: ldm.encode_first_stage(p, x))
+        print(f"[train_legacy] scale_by_std -> {ldm.scale_factor:.4f}")
+
+    os.makedirs(args.logdir, exist_ok=True)
+    metrics = open(os.path.join(args.logdir, "metrics.jsonl"), "a")
+    t0 = time.time()
+    for i in range(args.max_steps):
+        imgs, lab, caps_ = batch(i)
+        z = encode(params, jnp.asarray(imgs))
+        if ldm.cond_kind == "uncond":
+            cond_input = None
+        elif ldm.cond_kind == "class":
+            cond_input = jnp.asarray(lab, jnp.int32)
+        else:
+            cond_input = jnp.asarray(ldm.tokenizer(caps_))
+        rng, k = jax.random.split(rng)
+        params, opt_state, loss = step_fn(params, opt_state, z, cond_input,
+                                          k)
+        if use_ema:
+            ema = ema_update(ema, params["unet"])
+        if i % args.log_every == 0 or i == args.max_steps - 1:
+            row = {"step": i, "loss": float(loss),
+                   "time": round(time.time() - t0, 2)}
+            print(f"[train_legacy] {json.dumps(row)}")
+            metrics.write(json.dumps(row) + "\n")
+            metrics.flush()
+    metrics.close()
+    print(f"[train_legacy] done in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -84,3 +84,30 @@ def lambda_linear(base_lr: float, warm_up_steps: Sequence[int],
 
 def adamw_with_schedule(schedule_fn) -> optax.GradientTransformation:
     return optax.adamw(learning_rate=lambda step: schedule_fn(step))
+
+
+def lambda_linear_traceable(base_lr: float, warm_up_steps: Sequence[int],
+                            f_min: Sequence[float], f_max: Sequence[float],
+                            f_start: Sequence[float],
+                            cycle_lengths: Sequence[int]):
+    """jnp twin of :func:`lambda_linear` usable as an optax schedule inside
+    jit (the reference's LambdaLR runs host-side between steps; an XLA
+    schedule must trace)."""
+    import jax.numpy as jnp
+    bounds = jnp.asarray(np.cumsum(cycle_lengths), jnp.float32)
+    wu = jnp.asarray(warm_up_steps, jnp.float32)
+    fmn = jnp.asarray(f_min, jnp.float32)
+    fmx = jnp.asarray(f_max, jnp.float32)
+    fst = jnp.asarray(f_start, jnp.float32)
+    cl = jnp.asarray(cycle_lengths, jnp.float32)
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        cyc = jnp.clip(jnp.searchsorted(bounds, step, side="left"), 0,
+                       len(cycle_lengths) - 1)
+        start = jnp.where(cyc > 0, bounds[jnp.maximum(cyc - 1, 0)], 0.0)
+        s = step - start
+        warm = fst[cyc] + s * (fmx[cyc] - fst[cyc]) / jnp.maximum(wu[cyc], 1)
+        lin = fmn[cyc] + (fmx[cyc] - fmn[cyc]) * (cl[cyc] - s) / cl[cyc]
+        return base_lr * jnp.where(s < wu[cyc], warm, lin)
+    return fn

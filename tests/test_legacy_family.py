@@ -507,3 +507,41 @@ def test_evaluate_model_ti_inject(tmp_path):
     injected = ldm.get_learned_conditioning(params, ["a photo of a *"],
                                             inject)
     assert not np.allclose(np.asarray(with_ph), np.asarray(injected))
+
+
+def test_lambda_linear_traceable_matches_host():
+    kw = dict(warm_up_steps=[10], f_min=[1.0], f_max=[1.0],
+              f_start=[1e-6], cycle_lengths=[10000])
+    host = lr_schedule.lambda_linear(2.0, **kw)
+    traced = jax.jit(lr_schedule.lambda_linear_traceable(2.0, **kw))
+    for n in [0, 1, 5, 9, 10, 11, 100, 5000, 9999]:
+        np.testing.assert_allclose(float(traced(n)), host(n), rtol=1e-5,
+                                   err_msg=f"n={n}")
+
+
+def test_train_legacy_cond_stage_trainable():
+    """cin256-v2-style: cond_stage_trainable trains the ClassEmbedder with
+    the unet (configure_optimizers, ddpm.py:1442-1466)."""
+    from celebbasis_tpu.cli.train_legacy import make_legacy_trainer
+    from celebbasis_tpu.legacy import build_legacy_ldm
+    cfg = _tiny_legacy_cfg("vq", "class")
+    cfg["model"]["params"]["cond_stage_trainable"] = True
+    cfg["model"]["params"]["scheduler_config"] = {
+        "target": "ldm.lr_scheduler.LambdaLinearScheduler",
+        "params": {"warm_up_steps": [2], "cycle_lengths": [10000],
+                   "f_start": [1e-6], "f_max": [1.0], "f_min": [1.0]}}
+    cfg["model"]["base_learning_rate"] = 1e-3
+    ldm = build_legacy_ldm(cfg, dtype=jnp.float32)
+    params = ldm.init_params(jax.random.key(0))
+    step, init_opt, cond_trainable = make_legacy_trainer(ldm, cfg,
+                                                         batch_size=2)
+    assert cond_trainable
+    opt = init_opt(params)
+    z = jax.random.normal(jax.random.key(1), (2, 16, 16, 3))
+    labels = jnp.array([3, 7])
+    emb0 = np.asarray(params["cond_stage"]["params"]["embedding"])
+    for i in range(3):
+        params, opt, loss = step(params, opt, z, labels, jax.random.key(i))
+        assert np.isfinite(float(loss))
+    emb1 = np.asarray(params["cond_stage"]["params"]["embedding"])
+    assert not np.allclose(emb0, emb1)
