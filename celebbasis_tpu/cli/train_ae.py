@@ -71,6 +71,10 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--logdir", default="./logs_ae")
     ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--ckpt-every", type=int, default=0,
+                    help="orbax-checkpoint the full GAN state every N steps")
+    ap.add_argument("-r", "--resume", action="store_true",
+                    help="resume from the latest orbax checkpoint in logdir")
     ap.add_argument("--seed", type=int, default=23)
     args = ap.parse_args(argv)
 
@@ -98,9 +102,28 @@ def main(argv=None):
             return np.stack([ds[k]["image"] for k in idx])
 
     os.makedirs(args.logdir, exist_ok=True)
+    ckpt = None
+    start = 0
+    if args.ckpt_every or args.resume:
+        from celebbasis_tpu.train.callbacks import OrbaxResume
+        ckpt = OrbaxResume(args.logdir, every=max(args.ckpt_every, 1))
+        latest = ckpt.latest_step() if args.resume else None
+        if latest is not None:
+            snap = {"params": state.params, "opt_g": state.opt_g,
+                    "opt_d": state.opt_d}
+            abstract = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+                if hasattr(a, "shape") else a, snap)
+            restored = ckpt.restore(latest, abstract)
+            from celebbasis_tpu.train.ae_trainer import AETrainState
+            state = AETrainState(restored["params"], restored["opt_g"],
+                                 restored["opt_d"], step=latest)
+            start = latest
+            print(f"[train_ae] resumed from step {latest}")
+
     metrics = open(os.path.join(args.logdir, "metrics.jsonl"), "a")
     t0 = time.time()
-    for i in range(args.max_steps):
+    for i in range(start, args.max_steps):
         rng, k = jax.random.split(rng)
         x = batches(i)
         if x.shape[0] < bs:   # tail wrap
@@ -112,6 +135,13 @@ def main(argv=None):
             print(f"[train_ae] {json.dumps(row)}")
             metrics.write(json.dumps(row) + "\n")
             metrics.flush()
+        if ckpt is not None and args.ckpt_every \
+                and (i + 1) % args.ckpt_every == 0:
+            ckpt.maybe_save(i + 1, {"params": state.params,
+                                    "opt_g": state.opt_g,
+                                    "opt_d": state.opt_d})
+    if ckpt is not None:
+        ckpt.close()
     metrics.close()
     print(f"[train_ae] done: {args.max_steps} steps in "
           f"{time.time() - t0:.1f}s")

@@ -115,6 +115,10 @@ def main(argv=None):
     ap.add_argument("--no-ema", action="store_true")
     ap.add_argument("--logdir", default="./logs_legacy")
     ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--ckpt-every", type=int, default=0,
+                    help="orbax-checkpoint params/opt/ema every N steps")
+    ap.add_argument("-r", "--resume", action="store_true",
+                    help="resume from the latest orbax checkpoint in logdir")
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args(argv)
 
@@ -169,9 +173,28 @@ def main(argv=None):
         print(f"[train_legacy] scale_by_std -> {ldm.scale_factor:.4f}")
 
     os.makedirs(args.logdir, exist_ok=True)
+    ckpt = None
+    start = 0
+    if args.ckpt_every or args.resume:
+        from celebbasis_tpu.train.callbacks import OrbaxResume
+        ckpt = OrbaxResume(args.logdir, every=max(args.ckpt_every, 1))
+        latest = ckpt.latest_step() if args.resume else None
+        if latest is not None:
+            snap = {"params": params, "opt": opt_state,
+                    "ema": ema.params if use_ema else None}
+            abstract = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+                if hasattr(a, "shape") else a, snap)
+            restored = ckpt.restore(latest, abstract)
+            params, opt_state = restored["params"], restored["opt"]
+            if use_ema and restored["ema"] is not None:
+                ema = ema_init(restored["ema"])
+            start = latest
+            print(f"[train_legacy] resumed from step {latest}")
+
     metrics = open(os.path.join(args.logdir, "metrics.jsonl"), "a")
     t0 = time.time()
-    for i in range(args.max_steps):
+    for i in range(start, args.max_steps):
         imgs, lab, caps_ = batch(i)
         z = encode(params, jnp.asarray(imgs))
         if ldm.cond_kind == "uncond":
@@ -191,6 +214,12 @@ def main(argv=None):
             print(f"[train_legacy] {json.dumps(row)}")
             metrics.write(json.dumps(row) + "\n")
             metrics.flush()
+        if ckpt is not None and args.ckpt_every \
+                and (i + 1) % args.ckpt_every == 0:
+            ckpt.maybe_save(i + 1, {"params": params, "opt": opt_state,
+                                    "ema": ema.params if use_ema else None})
+    if ckpt is not None:
+        ckpt.close()
     metrics.close()
     print(f"[train_legacy] done in {time.time() - t0:.1f}s")
 
