@@ -545,3 +545,73 @@ def test_train_legacy_cond_stage_trainable():
         assert np.isfinite(float(loss))
     emb1 = np.asarray(params["cond_stage"]["params"]["embedding"])
     assert not np.allclose(emb0, emb1)
+
+
+def test_adaptive_weight_pullback_matches_direct_grad():
+    """The vjp-pullback formulation of calculate_adaptive_weight
+    (train/ae_loss.py) must equal torch's autograd.grad-through-the-graph,
+    i.e. direct jax.grad of nll/g wrt the decoder's last conv kernel."""
+    from celebbasis_tpu.models.vae import AutoencoderKL, sample_posterior
+    from celebbasis_tpu.train.ae_loss import (DiscLossConfig,
+                                              LPIPSWithDiscriminator,
+                                              adaptive_weight)
+    from celebbasis_tpu.train.ae_trainer import (_LAST_KERNEL, _get_leaf,
+                                                 _set_leaf)
+    model = AutoencoderKL(_tiny_vae_cfg(True), dtype=jnp.float32)
+    loss = LPIPSWithDiscriminator(DiscLossConfig(disc_start=0, disc_ndf=8))
+    x = jax.random.uniform(jax.random.key(0), (2, 32, 32, 3)) * 2 - 1
+    ae = model.init(jax.random.key(1), x, jax.random.key(2))
+    lv = loss.init(jax.random.key(3), (1, 32, 32, 3))
+    variables = {"lpips": lv["lpips"], "disc": lv["disc"],
+                 "logvar": lv["logvar"]}
+
+    mean, logvar = model.apply(ae, x, method="encode")
+    z = sample_posterior(jax.random.key(4), mean, logvar)
+
+    def decode_from_last(kernel):
+        return model.apply(_set_leaf(ae, _LAST_KERNEL, kernel), z,
+                           method="decode")
+
+    kernel = _get_leaf(ae, _LAST_KERNEL)
+    recons, pullback = jax.vjp(decode_from_last, kernel)
+
+    def nll_of_kernel(k):
+        return loss.nll_of(variables, x, decode_from_last(k))[1]
+
+    def g_of_kernel(k):
+        return -jnp.mean(loss._logits_fake(variables, decode_from_last(k),
+                                           None))
+
+    nll_cot = jax.grad(lambda r: loss.nll_of(variables, x, r)[1])(recons)
+    g_cot = jax.grad(lambda r: -jnp.mean(
+        loss._logits_fake(variables, r, None)))(recons)
+    via_pullback_nll = pullback(nll_cot)[0]
+    via_pullback_g = pullback(g_cot)[0]
+    direct_nll = jax.grad(nll_of_kernel)(kernel)
+    direct_g = jax.grad(g_of_kernel)(kernel)
+    np.testing.assert_allclose(np.asarray(via_pullback_nll),
+                               np.asarray(direct_nll), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(via_pullback_g),
+                               np.asarray(direct_g), rtol=1e-4, atol=1e-6)
+
+    d_w = adaptive_weight(via_pullback_nll, via_pullback_g, 0.5)
+    want = 0.5 * np.linalg.norm(np.asarray(direct_nll).ravel()) / (
+        np.linalg.norm(np.asarray(direct_g).ravel()) + 1e-4)
+    np.testing.assert_allclose(float(d_w), want, rtol=1e-4)
+
+
+def test_hinge_and_vanilla_d_loss_match_torch():
+    """taming's hinge/vanilla discriminator losses (standard formulas)."""
+    from celebbasis_tpu.train.ae_loss import hinge_d_loss, vanilla_d_loss
+    torch.manual_seed(2)
+    real = torch.randn(4, 1, 6, 6)
+    fake = torch.randn(4, 1, 6, 6)
+    want_h = 0.5 * (torch.nn.functional.relu(1.0 - real).mean()
+                    + torch.nn.functional.relu(1.0 + fake).mean())
+    want_v = 0.5 * (torch.nn.functional.softplus(-real).mean()
+                    + torch.nn.functional.softplus(fake).mean())
+    got_h = hinge_d_loss(jnp.asarray(real.numpy()), jnp.asarray(fake.numpy()))
+    got_v = vanilla_d_loss(jnp.asarray(real.numpy()),
+                           jnp.asarray(fake.numpy()))
+    np.testing.assert_allclose(float(got_h), float(want_h), rtol=1e-6)
+    np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-6)
