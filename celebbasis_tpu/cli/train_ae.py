@@ -75,6 +75,9 @@ def main(argv=None):
                     help="orbax-checkpoint the full GAN state every N steps")
     ap.add_argument("-r", "--resume", action="store_true",
                     help="resume from the latest orbax checkpoint in logdir")
+    ap.add_argument("--export-torch", default=None,
+                    help="after training, write a reference-loadable torch "
+                         ".ckpt of the first stage (state_dict layout)")
     ap.add_argument("--seed", type=int, default=23)
     args = ap.parse_args(argv)
 
@@ -143,6 +146,20 @@ def main(argv=None):
     if ckpt is not None:
         ckpt.close()
     metrics.close()
+    if args.export_torch:
+        from celebbasis_tpu.utils import bridge
+        from celebbasis_tpu.utils.pt_io import save_pt
+        dd = get(cfg, "model.params.ddconfig", {}) or {}
+        kw = dict(ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+                  num_res_blocks=dd.get("num_res_blocks", 2),
+                  attn_resolutions=tuple(dd.get("attn_resolutions", ()) or ()),
+                  resolution=dd.get("resolution", 256))
+        params_np = jax.device_get(state.params["ae"])
+        sd = (bridge.export_vq if trainer.is_vq
+              else bridge.export_vae)(params_np, **kw)
+        save_pt({"state_dict": sd}, args.export_torch)
+        print(f"[train_ae] exported torch state_dict "
+              f"({len(sd)} keys) -> {args.export_torch}")
     print(f"[train_ae] done: {args.max_steps} steps in "
           f"{time.time() - t0:.1f}s")
 

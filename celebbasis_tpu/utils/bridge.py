@@ -66,7 +66,11 @@ class KeyMap:
         self.used.add(key)
         return np.asarray(self.src[key], np.float32)
 
-    def has(self, key: str) -> bool:
+    def has(self, key: str, flax_key: str | None = None) -> bool:
+        """``flax_key`` is the same leaf's flax-side path — unused here, but
+        lets :class:`ExportMap` (which replays the same ``_map_*`` functions
+        in reverse) answer existence questions from the flax pytree."""
+        del flax_key
         return key in self.src
 
     def put(self, dst: str, value: np.ndarray):
@@ -106,6 +110,70 @@ def unflatten(flat: Dict[str, np.ndarray]) -> Dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = val
     return out
+
+
+def flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`unflatten`: nested dict -> 'a/b/c' keys."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _conv_inv(w):   # HWIO -> OIHW
+    return np.transpose(w, (3, 2, 0, 1))
+
+
+class ExportMap:
+    """Inverse :class:`KeyMap`: replays the SAME ``_map_*`` mapping functions
+    but reads a Flax param pytree and writes a torch state_dict — so every
+    import mapping doubles as an export mapping with zero duplication.
+    Argument order matches KeyMap (``dst`` = flax path, ``src`` = torch key).
+
+    Enables the migration path back: first stages trained here
+    (``cli/train_ae.py``) load into the reference's torch modules
+    (autoencoder.py init_from_ckpt, strict)."""
+
+    def __init__(self, params: Dict):
+        if "params" in params and isinstance(params["params"], dict):
+            params = params["params"]
+        self.src = flatten(params)
+        self.used: set = set()
+        self.out: Dict[str, np.ndarray] = {}
+
+    def take(self, flax_key: str) -> np.ndarray:
+        if flax_key not in self.src:
+            raise KeyError(f"flax params missing key: {flax_key}")
+        self.used.add(flax_key)
+        return np.asarray(self.src[flax_key], np.float32)
+
+    def has(self, torch_key: str, flax_key: str | None = None) -> bool:
+        assert flax_key is not None, (
+            "export-mode existence checks need the flax key "
+            f"(asked about {torch_key!r})")
+        return flax_key in self.src
+
+    def conv(self, dst: str, src: str):
+        self.out[f"{src}.weight"] = _conv_inv(self.take(f"{dst}/kernel"))
+        if f"{dst}/bias" in self.src:
+            self.out[f"{src}.bias"] = self.take(f"{dst}/bias")
+
+    def linear(self, dst: str, src: str, bias: bool = True):
+        self.out[f"{src}.weight"] = _lin(self.take(f"{dst}/kernel"))
+        if bias and f"{dst}/bias" in self.src:
+            self.out[f"{src}.bias"] = self.take(f"{dst}/bias")
+
+    def norm(self, dst: str, src: str):
+        self.out[f"{src}.weight"] = self.take(f"{dst}/scale")
+        self.out[f"{src}.bias"] = self.take(f"{dst}/bias")
+
+    def unused(self, prefix: str = "") -> List[str]:
+        return sorted(k for k in self.src
+                      if k.startswith(prefix) and k not in self.used)
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +291,7 @@ def _map_vae_res(km: KeyMap, dst: str, src: str):
     km.conv(f"{dst}/conv1", f"{src}.conv1")
     km.norm(f"{dst}/norm2/GroupNorm_0", f"{src}.norm2")
     km.conv(f"{dst}/conv2", f"{src}.conv2")
-    if km.has(f"{src}.nin_shortcut.weight"):
+    if km.has(f"{src}.nin_shortcut.weight", f"{dst}/nin_shortcut/kernel"):
         km.conv(f"{dst}/nin_shortcut", f"{src}.nin_shortcut")
 
 
@@ -319,6 +387,37 @@ def convert_vq(state: Dict[str, np.ndarray],
 # ---------------------------------------------------------------------------
 # BERT-path text encoder (x_transformer TransformerWrapper layout)
 # ---------------------------------------------------------------------------
+
+def export_vae(params: Dict,
+               ch_mult: Tuple[int, ...] = (1, 2, 4, 4),
+               num_res_blocks: int = 2,
+               attn_resolutions: Tuple[int, ...] = (),
+               resolution: int = 256) -> Dict[str, np.ndarray]:
+    """AutoencoderKL Flax params -> reference torch state_dict
+    (autoencoder.py:284-330 layout; loads with strict=True)."""
+    em = ExportMap(params)
+    _map_ldm_backbone(em, ch_mult, num_res_blocks, attn_resolutions,
+                      resolution)
+    em.conv("quant_conv", "quant_conv")
+    em.conv("post_quant_conv", "post_quant_conv")
+    return em.out
+
+
+def export_vq(params: Dict,
+              ch_mult: Tuple[int, ...],
+              num_res_blocks: int,
+              attn_resolutions: Tuple[int, ...] = (),
+              resolution: int = 256) -> Dict[str, np.ndarray]:
+    """VQModel(Interface) Flax params -> reference torch state_dict
+    (autoencoder.py:14-120 + taming codebook)."""
+    em = ExportMap(params)
+    _map_ldm_backbone(em, ch_mult, num_res_blocks, attn_resolutions,
+                      resolution)
+    em.conv("quant_conv", "quant_conv")
+    em.conv("post_quant_conv", "post_quant_conv")
+    em.out["quantize.embedding.weight"] = em.take("quantize/embedding")
+    return em.out
+
 
 def convert_bert_text(state: Dict[str, np.ndarray], depth: int,
                       prefix: str = "cond_stage_model.transformer.") -> Dict:

@@ -224,3 +224,76 @@ def test_vq_model_train_view_and_decode_code():
     assert float(emb_loss) >= 0
     rec2 = model.apply(variables, idx, method="decode_code")
     np.testing.assert_allclose(np.asarray(rec2), np.asarray(rec), atol=1e-5)
+
+
+def test_export_vq_loads_in_reference_torch_strict():
+    """Flax->torch export: the reference's own Encoder/Decoder load the
+    exported state_dict with strict=True and reproduce our forward — the
+    migration path back (train here, run in the reference)."""
+    cfg = _vq_cfg()
+    model = VQModelInterface(cfg, n_embed=17, dtype=jnp.float32)
+    x = np.random.default_rng(21).normal(size=(1, 32, 32, 3)) \
+        .astype(np.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(5), jnp.asarray(x))
+    sd = bridge.export_vq(jax.device_get(variables),
+                          cfg.ch_mult, cfg.num_res_blocks,
+                          attn_resolutions=cfg.attn_resolutions,
+                          resolution=cfg.resolution)
+
+    enc, dec = _ref_enc_dec()
+    sub = lambda p: {k[len(p):]: torch.from_numpy(np.ascontiguousarray(v))
+                     for k, v in sd.items() if k.startswith(p)}
+    enc.load_state_dict(sub("encoder."), strict=True)
+    dec.load_state_dict(sub("decoder."), strict=True)
+    quant_conv = torch.nn.Conv2d(3, 3, 1)
+    post_quant_conv = torch.nn.Conv2d(3, 3, 1)
+    quant_conv.load_state_dict(sub("quant_conv."), strict=True)
+    post_quant_conv.load_state_dict(sub("post_quant_conv."), strict=True)
+    codebook = torch.from_numpy(sd["quantize.embedding.weight"])
+
+    with torch.no_grad():
+        h_ref = quant_conv(enc(torch.from_numpy(x).permute(0, 3, 1, 2)))
+    got_h = model.apply(variables, jnp.asarray(x), method="encode")
+    np.testing.assert_allclose(np.asarray(got_h).transpose(0, 3, 1, 2),
+                               h_ref.numpy(), atol=2e-4, rtol=1e-3)
+
+    # decode path incl. the exported codebook
+    with torch.no_grad():
+        flat = h_ref.permute(0, 2, 3, 1).reshape(-1, 3)
+        d = torch.cdist(flat, codebook) ** 2
+        zq = codebook[d.argmin(1)].reshape(1, 16, 16, 3).permute(0, 3, 1, 2)
+        ref_dec = dec(post_quant_conv(zq)).numpy()
+    got_dec = model.apply(variables, got_h, method="decode")
+    np.testing.assert_allclose(np.asarray(got_dec).transpose(0, 3, 1, 2),
+                               ref_dec, atol=5e-4, rtol=1e-3)
+    # round-trip through the importer is exact
+    back = bridge.convert_vq({f"fs.{k}": v for k, v in sd.items()},
+                             cfg.ch_mult, cfg.num_res_blocks, prefix="fs.",
+                             attn_resolutions=cfg.attn_resolutions,
+                             resolution=cfg.resolution)
+    for path, a in bridge.flatten(back["params"]).items():
+        b = bridge.flatten(jax.device_get(variables)["params"])[path]
+        np.testing.assert_array_equal(a, np.asarray(b), err_msg=path)
+
+
+def test_export_vae_roundtrip_exact():
+    """KL variant: export -> import is the identity on every leaf."""
+    from celebbasis_tpu.models.vae import AutoencoderKL
+    cfg = VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=3,
+                    embed_dim=3, double_z=True, resolution=32)
+    model = AutoencoderKL(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x,
+                                    jax.random.PRNGKey(1))
+    sd = bridge.export_vae(jax.device_get(variables), cfg.ch_mult,
+                           cfg.num_res_blocks, resolution=cfg.resolution)
+    back = bridge.convert_vae({f"first_stage_model.{k}": v
+                               for k, v in sd.items()},
+                              cfg.ch_mult, cfg.num_res_blocks,
+                              resolution=cfg.resolution)
+    flat_b = bridge.flatten(back["params"])
+    flat_a = bridge.flatten(jax.device_get(variables)["params"])
+    assert sorted(flat_a) == sorted(flat_b)
+    for path in flat_a:
+        np.testing.assert_array_equal(flat_a[path], flat_b[path],
+                                      err_msg=path)
