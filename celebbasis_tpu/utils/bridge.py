@@ -90,6 +90,11 @@ class KeyMap:
         self.put(f"{dst}/scale", self.take(f"{src}.weight"))
         self.put(f"{dst}/bias", self.take(f"{src}.bias"))
 
+    def conv1d_lin(self, dst: str, src: str):
+        """torch 1x1 conv1d <-> Dense over tokens (AttentionBlock qkv)."""
+        self.put(f"{dst}/kernel", _conv1d_lin(self.take(f"{src}.weight")))
+        self.put(f"{dst}/bias", self.take(f"{src}.bias"))
+
     def bn(self, dst: str, src: str):
         self.norm(dst, src)
         self.put(f"{dst}/mean", self.take(f"{src}.running_mean"))
@@ -171,6 +176,11 @@ class ExportMap:
         self.out[f"{src}.weight"] = self.take(f"{dst}/scale")
         self.out[f"{src}.bias"] = self.take(f"{dst}/bias")
 
+    def conv1d_lin(self, dst: str, src: str):
+        w = self.take(f"{dst}/kernel")           # (in, out)
+        self.out[f"{src}.weight"] = np.transpose(w, (1, 0))[:, :, None]
+        self.out[f"{src}.bias"] = self.take(f"{dst}/bias")
+
     def unused(self, prefix: str = "") -> List[str]:
         return sorted(k for k in self.src
                       if k.startswith(prefix) and k not in self.used)
@@ -186,7 +196,7 @@ def _map_resblock(km: KeyMap, dst: str, src: str):
     km.linear(f"{dst}/emb_proj", f"{src}.emb_layers.1")
     km.norm(f"{dst}/norm2/GroupNorm_0", f"{src}.out_layers.0")
     km.conv(f"{dst}/conv2/Conv_0", f"{src}.out_layers.3")
-    if km.has(f"{src}.skip_connection.weight"):
+    if km.has(f"{src}.skip_connection.weight", f"{dst}/skip/kernel"):
         km.conv(f"{dst}/skip", f"{src}.skip_connection")
 
 
@@ -198,11 +208,8 @@ def _map_attnblock(km: KeyMap, dst: str, src: str):
     """Legacy AttentionBlock (openaimodel.py:278-324): 1x1-conv1d qkv and
     proj_out become Dense kernels over the token dim."""
     km.norm(f"{dst}/norm/GroupNorm_0", f"{src}.norm")
-    km.put(f"{dst}/qkv/kernel", _conv1d_lin(km.take(f"{src}.qkv.weight")))
-    km.put(f"{dst}/qkv/bias", km.take(f"{src}.qkv.bias"))
-    km.put(f"{dst}/proj_out/kernel",
-           _conv1d_lin(km.take(f"{src}.proj_out.weight")))
-    km.put(f"{dst}/proj_out/bias", km.take(f"{src}.proj_out.bias"))
+    km.conv1d_lin(f"{dst}/qkv", f"{src}.qkv")
+    km.conv1d_lin(f"{dst}/proj_out", f"{src}.proj_out")
 
 
 def _map_spatial(km: KeyMap, dst: str, src: str, depth: int):
@@ -228,6 +235,21 @@ def convert_unet(state: Dict[str, np.ndarray],
                  prefix: str = "model.diffusion_model.") -> Dict:
     src = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
     km = KeyMap(src)
+    _map_unet(km, cfg)
+    return {"params": unflatten(km.out)}
+
+
+def export_unet(params: Dict, cfg: UNetConfig = UNetConfig.sd_v1(),
+                prefix: str = "model.diffusion_model."
+                ) -> Dict[str, np.ndarray]:
+    """UNetModel Flax params -> reference torch state_dict (openaimodel.py
+    layout) — the exact inverse of :func:`convert_unet` via ExportMap."""
+    em = ExportMap(params)
+    _map_unet(em, cfg)
+    return {f"{prefix}{k}": v for k, v in em.out.items()}
+
+
+def _map_unet(km, cfg: UNetConfig):
     km.linear("time_fc1", "time_embed.0")
     km.linear("time_fc2", "time_embed.2")
     km.conv("conv_in", "input_blocks.0.0")
@@ -279,7 +301,6 @@ def convert_unet(state: Dict[str, np.ndarray],
 
     km.norm("norm_out/GroupNorm_0", "out.0")
     km.conv("conv_out/Conv_0", "out.2")
-    return {"params": unflatten(km.out)}
 
 
 # ---------------------------------------------------------------------------

@@ -297,3 +297,57 @@ def test_export_vae_roundtrip_exact():
     for path in flat_a:
         np.testing.assert_array_equal(flat_a[path], flat_b[path],
                                       err_msg=path)
+
+
+def test_export_unet_strict_load_and_roundtrip():
+    """export_unet loads strict=True into the reference UNetModel and
+    reproduces our forward; export->import is leaf-exact (incl. the
+    spatial-transformer layout)."""
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as RefUNet
+    from celebbasis_tpu.models.unet import UNetConfig, UNetModel
+
+    # legacy AttentionBlock config (forward comparable without context)
+    cfg = UNetConfig(in_channels=3, out_channels=3, model_channels=32,
+                     channel_mult=(1, 2), num_res_blocks=1,
+                     attention_resolutions=(1, 2), num_heads=-1,
+                     num_head_channels=8, use_spatial_transformer=False)
+    model = UNetModel(cfg, dtype=jnp.float32)
+    x = np.random.default_rng(3).normal(size=(2, 16, 16, 3)) \
+        .astype(np.float32)
+    t = np.array([5, 40])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x),
+                                 jnp.asarray(t), None)
+    got = jax.jit(model.apply)(params, jnp.asarray(x), jnp.asarray(t))
+
+    sd = bridge.export_unet(jax.device_get(params), cfg, prefix="")
+    ref = RefUNet(image_size=16, in_channels=3, out_channels=3,
+                  model_channels=32, attention_resolutions=[1, 2],
+                  num_res_blocks=1, channel_mult=[1, 2], num_head_channels=8,
+                  use_checkpoint=False).eval()
+    ref.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in sd.items()}, strict=True)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x).permute(0, 3, 1, 2),
+                   torch.from_numpy(t)).numpy()
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               atol=2e-4, rtol=1e-3)
+
+    # spatial-transformer roundtrip (cross-attention layout)
+    cfg2 = UNetConfig(in_channels=4, out_channels=4, model_channels=32,
+                      channel_mult=(1, 2), num_res_blocks=1,
+                      attention_resolutions=(2,), num_heads=4,
+                      transformer_depth=1, context_dim=48,
+                      use_spatial_transformer=True)
+    m2 = UNetModel(cfg2, dtype=jnp.float32)
+    p2 = jax.jit(m2.init)(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 16, 16, 4)),
+                          jnp.zeros((1,), jnp.int32),
+                          jnp.zeros((1, 77, 48)))
+    sd2 = bridge.export_unet(jax.device_get(p2), cfg2)
+    back = bridge.convert_unet(sd2, cfg2)
+    flat_a = bridge.flatten(jax.device_get(p2)["params"])
+    flat_b = bridge.flatten(back["params"])
+    assert sorted(flat_a) == sorted(flat_b)
+    for path in flat_a:
+        np.testing.assert_array_equal(flat_a[path], flat_b[path],
+                                      err_msg=path)
