@@ -119,6 +119,10 @@ def main(argv=None):
                     help="orbax-checkpoint params/opt/ema every N steps")
     ap.add_argument("-r", "--resume", action="store_true",
                     help="resume from the latest orbax checkpoint in logdir")
+    ap.add_argument("--export-torch", default=None,
+                    help="after training, write a reference-loadable torch "
+                         ".ckpt (model.diffusion_model + first_stage_model "
+                         "+ cond_stage_model state_dict)")
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args(argv)
 
@@ -221,6 +225,33 @@ def main(argv=None):
     if ckpt is not None:
         ckpt.close()
     metrics.close()
+    if args.export_torch:
+        from celebbasis_tpu.utils import bridge
+        from celebbasis_tpu.utils.pt_io import save_pt
+        unet_p = jax.device_get(ema.params if use_ema else params["unet"])
+        sd = bridge.export_unet(unet_p, ldm.unet.cfg)
+        dd = get(cfg, "model.params.first_stage_config.params.ddconfig",
+                 {}) or {}
+        kw = dict(ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+                  num_res_blocks=dd.get("num_res_blocks", 2),
+                  attn_resolutions=tuple(dd.get("attn_resolutions", ()) or ()),
+                  resolution=dd.get("resolution", 256))
+        fs_export = bridge.export_vq if ldm.first_stage_kind == "vq" \
+            else bridge.export_vae
+        sd.update({f"first_stage_model.{k}": v for k, v in
+                   fs_export(jax.device_get(params["first_stage"]),
+                             **kw).items()})
+        if ldm.cond_kind == "bert":
+            sd.update(bridge.export_bert_text(
+                jax.device_get(params["cond_stage"]),
+                depth=ldm.cond_stage.cfg.depth))
+        elif ldm.cond_kind == "class":
+            sd["cond_stage_model.embedding.weight"] = np.asarray(
+                jax.device_get(
+                    params["cond_stage"])["params"]["embedding"])
+        save_pt({"state_dict": sd}, args.export_torch)
+        print(f"[train_legacy] exported torch state_dict ({len(sd)} keys"
+              f"{', EMA unet' if use_ema else ''}) -> {args.export_torch}")
     print(f"[train_legacy] done in {time.time() - t0:.1f}s")
 
 

@@ -464,6 +464,27 @@ def convert_bert_text(state: Dict[str, np.ndarray], depth: int,
     return {"params": unflatten(km.out)}
 
 
+def export_bert_text(params: Dict, depth: int,
+                     prefix: str = "cond_stage_model.transformer."
+                     ) -> Dict[str, np.ndarray]:
+    """BERTTextEncoder Flax params -> x_transformer TransformerWrapper
+    state_dict — inverse of :func:`convert_bert_text`."""
+    em = ExportMap(params)
+    em.out["token_emb.weight"] = em.take("token_emb")
+    em.out["pos_emb.emb.weight"] = em.take("pos_emb")
+    for i in range(depth):
+        a, f = f"attn_layers.layers.{2 * i}", f"attn_layers.layers.{2 * i + 1}"
+        em.norm(f"attn_ln_{i}/LayerNorm_0", f"{a}.0")
+        for p in ("to_q", "to_k", "to_v"):
+            em.linear(f"attn_{i}/{p}", f"{a}.1.{p}", bias=False)
+        em.linear(f"attn_{i}/to_out", f"{a}.1.to_out")
+        em.norm(f"ff_ln_{i}/LayerNorm_0", f"{f}.0")
+        em.linear(f"ff_{i}/fc1", f"{f}.1.net.0.0")
+        em.linear(f"ff_{i}/fc2", f"{f}.1.net.2")
+    em.norm("norm_out/LayerNorm_0", "norm")
+    return {f"{prefix}{k}": v for k, v in em.out.items()}
+
+
 def convert_encoder_unet(state: Dict[str, np.ndarray],
                          cfg: "UNetConfig", pool: str = "adaptive",
                          prefix: str = "model.") -> Dict:
