@@ -78,6 +78,9 @@ def main(argv=None):
     ap.add_argument("--export-torch", default=None,
                     help="after training, write a reference-loadable torch "
                          ".ckpt of the first stage (state_dict layout)")
+    ap.add_argument("--image-every", type=int, default=0,
+                    help="save [inputs | reconstructions | samples] grids "
+                         "every N steps (reference ImageLogger/log_images)")
     ap.add_argument("--seed", type=int, default=23)
     args = ap.parse_args(argv)
 
@@ -124,6 +127,36 @@ def main(argv=None):
             start = latest
             print(f"[train_ae] resumed from step {latest}")
 
+    def log_images(step, x):
+        """AutoencoderKL/VQModel.log_images (autoencoder.py:233-258,
+        :246-263): inputs, reconstructions, decoded-prior samples."""
+        import jax.numpy as jnp
+        from PIL import Image
+        from celebbasis_tpu.models.vae import sample_posterior
+        from celebbasis_tpu.pipeline import finish_images
+        ae = state.params["ae"]
+        xj = jnp.asarray(x[:4])
+        if trainer.is_vq:
+            rec, _, _ = trainer.model.apply(ae, xj)
+            z_shape = trainer.model.apply(ae, xj,
+                                          method="encode_to_prequant").shape
+        else:
+            mean, logvar = trainer.model.apply(ae, xj, method="encode")
+            rec = trainer.model.apply(
+                ae, sample_posterior(jax.random.key(step), mean, logvar),
+                method="decode")
+            z_shape = mean.shape
+        samples = trainer.model.apply(
+            ae, jax.random.normal(jax.random.key(step + 1), z_shape),
+            method="decode")
+        grid = jnp.concatenate(
+            [jnp.concatenate(list(r), axis=1)
+             for r in (xj, rec, samples)], axis=0)
+        pixels = np.asarray(finish_images(grid[None], "uint8"))[0]
+        path = os.path.join(args.logdir, "images", f"step_{step:06}.png")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(pixels).save(path)
+
     metrics = open(os.path.join(args.logdir, "metrics.jsonl"), "a")
     t0 = time.time()
     for i in range(start, args.max_steps):
@@ -143,6 +176,8 @@ def main(argv=None):
             ckpt.maybe_save(i + 1, {"params": state.params,
                                     "opt_g": state.opt_g,
                                     "opt_d": state.opt_d})
+        if args.image_every and (i + 1) % args.image_every == 0:
+            log_images(i + 1, x)
     if ckpt is not None:
         ckpt.close()
     metrics.close()

@@ -123,6 +123,10 @@ def main(argv=None):
                     help="after training, write a reference-loadable torch "
                          ".ckpt (model.diffusion_model + first_stage_model "
                          "+ cond_stage_model state_dict)")
+    ap.add_argument("--image-every", type=int, default=0,
+                    help="save a DDIM sample grid every N steps (the "
+                         "reference ImageLogger, main.py:344-447)")
+    ap.add_argument("--image-steps", type=int, default=20)
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args(argv)
 
@@ -177,6 +181,24 @@ def main(argv=None):
         print(f"[train_legacy] scale_by_std -> {ldm.scale_factor:.4f}")
 
     os.makedirs(args.logdir, exist_ok=True)
+    sample_fn = None
+
+    def log_images(step, cond_sample):
+        nonlocal sample_fn
+        from PIL import Image
+        from celebbasis_tpu.pipeline import finish_images
+        if sample_fn is None:
+            sample_fn = ldm.make_sample_fn(num_steps=args.image_steps)
+        n = min(4, bs)
+        imgs = sample_fn(params, jax.random.key(1000 + step),
+                         cond_sample[:n] if cond_sample is not None else None,
+                         n)
+        grid = jnp.concatenate(list(imgs), axis=1)
+        pixels = np.asarray(finish_images(grid[None], "uint8"))[0]
+        path = os.path.join(args.logdir, "images", f"step_{step:06}.png")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(pixels).save(path)
+
     ckpt = None
     start = 0
     if args.ckpt_every or args.resume:
@@ -222,6 +244,10 @@ def main(argv=None):
                 and (i + 1) % args.ckpt_every == 0:
             ckpt.maybe_save(i + 1, {"params": params, "opt": opt_state,
                                     "ema": ema.params if use_ema else None})
+        if args.image_every and (i + 1) % args.image_every == 0:
+            cs = None if ldm.cond_kind == "uncond" else \
+                (lab if ldm.cond_kind == "class" else caps_)
+            log_images(i + 1, cs)
     if ckpt is not None:
         ckpt.close()
     metrics.close()
