@@ -615,3 +615,78 @@ def test_hinge_and_vanilla_d_loss_match_torch():
                            jnp.asarray(fake.numpy()))
     np.testing.assert_allclose(float(got_h), float(want_h), rtol=1e-6)
     np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-6)
+
+
+def test_composed_legacy_ddim_parity():
+    """Composed golden test: the reference's own DDIMSampler (ddim.py) over
+    the reference torch UNet loaded from OUR exported weights vs our
+    ddim_sample scan over our UNet — same x_T, eta=0, 4 steps.  Pins the
+    full sampler+schedule+UNet composition, not just the modules."""
+    from ldm.models.diffusion.ddim import DDIMSampler
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as RefUNet
+
+    from celebbasis_tpu.diffusion.sampler import (SamplerConfig, ddim_sample)
+    from celebbasis_tpu.diffusion.schedules import (make_ddim_schedule,
+                                                    make_schedule)
+    from celebbasis_tpu.models.unet import UNetConfig, UNetModel
+    from celebbasis_tpu.utils import bridge
+
+    T, S = 16, 4
+    cfg = UNetConfig(in_channels=3, out_channels=3, model_channels=32,
+                     channel_mult=(1, 2), num_res_blocks=1,
+                     attention_resolutions=(2,), num_heads=-1,
+                     num_head_channels=8, use_spatial_transformer=False)
+    model = UNetModel(cfg, dtype=jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 16, 16, 3)),
+                                 jnp.zeros((1,), jnp.int32), None)
+    # perturb conv_out away from zero-init so eps is non-trivial
+    k = jax.random.normal(jax.random.PRNGKey(9),
+                          params["params"]["conv_out"]["Conv_0"]["kernel"].shape) * 0.05
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    params["params"]["conv_out"]["Conv_0"]["kernel"] = k
+
+    ref = RefUNet(image_size=16, in_channels=3, out_channels=3,
+                  model_channels=32, attention_resolutions=[2],
+                  num_res_blocks=1, channel_mult=[1, 2],
+                  num_head_channels=8, use_checkpoint=False).eval()
+    ref.load_state_dict(
+        {kk: torch.from_numpy(np.ascontiguousarray(v)) for kk, v in
+         bridge.export_unet(jax.device_get(params), cfg,
+                            prefix="").items()}, strict=True)
+
+    sched = make_schedule("linear", T, linear_start=0.0015,
+                          linear_end=0.0195)
+
+    class _Shim:   # duck-typed LatentDiffusion surface the sampler reads
+        num_timesteps = T
+        betas = torch.from_numpy(sched.betas).float()
+        alphas_cumprod = torch.from_numpy(sched.alphas_cumprod).float()
+        alphas_cumprod_prev = torch.from_numpy(
+            sched.alphas_cumprod_prev).float()
+        device = torch.device("cpu")
+
+        @staticmethod
+        def apply_model(x, t, c):
+            with torch.no_grad():
+                return ref(x, t)
+
+    class _CPUSampler(DDIMSampler):   # no CUDA in this image
+        def register_buffer(self, name, attr):
+            setattr(self, name, attr)
+
+    sampler = _CPUSampler(_Shim())
+    x_T = np.random.default_rng(4).normal(size=(2, 3, 16, 16)) \
+        .astype(np.float32)
+    want, _ = sampler.sample(S=S, batch_size=2, shape=(3, 16, 16),
+                             conditioning=None, eta=0.0, verbose=False,
+                             x_T=torch.from_numpy(x_T))
+
+    dd = make_ddim_schedule(sched, S, eta=0.0)
+    eps = lambda x, t, c: model.apply(params, x, t, None)
+    got = ddim_sample(eps, dd, rng=jax.random.key(0),
+                      shape=(2, 16, 16, 3), cond=jnp.zeros((2, 1, 1)),
+                      cfg=SamplerConfig(guidance_scale=1.0, eta=0.0),
+                      x_T=jnp.asarray(x_T.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                               want.numpy(), atol=5e-4, rtol=1e-3)
