@@ -286,8 +286,9 @@ class ImageNetSR:
         return len(self.base)
 
     def __getitem__(self, i: int) -> Dict:
-        example = dict(self.base[i]) if isinstance(self.base[i], dict) \
-            else {"file_path_": self.base[i]}
+        base = self.base[i]
+        example = dict(base) if isinstance(base, dict) \
+            else {"file_path_": base}
         image = np.asarray(_open_rgb(example["file_path_"]), dtype=np.uint8)
         min_side = min(image.shape[:2])
         side = int(min_side * self._rng.uniform(self.min_crop_f,
