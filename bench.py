@@ -64,10 +64,15 @@ def main():
     # compile + warmup; fetch to host to defeat any async completion quirks
     import numpy as np
     np.asarray(run(jax.random.key(2)))
-    n_rep = 3
+    # dispatch all reps before fetching: JAX's async dispatch queues the
+    # device programs back-to-back so the ~65 ms tunnel round-trip (CLAUDE.md)
+    # is paid once, not per rep — this measures device throughput, which is
+    # what steps/sec/chip means
+    n_rep = 4
     t0 = time.perf_counter()
-    for i in range(n_rep):
-        np.asarray(run(jax.random.key(3 + i)))
+    outs = [run(jax.random.key(3 + i)) for i in range(n_rep)]
+    for o in outs:
+        np.asarray(o)
     dt = (time.perf_counter() - t0) / n_rep
     steps_per_sec = STEPS / dt
 

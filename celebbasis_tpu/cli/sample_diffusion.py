@@ -42,6 +42,17 @@ def main(argv=None):
                          "(reference vanilla_sample)")
     ap.add_argument("--classes", type=int, nargs="*", default=None,
                     help="class labels for class-conditional configs")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="CFG guidance scale (>1 guides against the empty "
+                         "prompt, or the learned uncond class for "
+                         "class-conditional configs)")
+    ap.add_argument("--uncond-label", type=int, default=None,
+                    help="class label used as the CFG 'unconditional' "
+                         "(default n_classes-1, e.g. 1000 for cin256-v2)")
+    ap.add_argument("--per-class", type=int, default=0,
+                    help="render each --classes label this many times and "
+                         "write a classes x per-class grid "
+                         "(the latent_imagenet_diffusion.ipynb demo flow)")
     ap.add_argument("--prompt", default="a photograph",
                     help="prompt for text-conditional configs")
     ap.add_argument("--ckpt", default=None,
@@ -54,6 +65,12 @@ def main(argv=None):
     ldm = build_legacy_ldm(cfg)
     print(f"[sample_diffusion] first_stage={ldm.first_stage_kind} "
           f"cond={ldm.cond_kind} latent={ldm.image_size}^2x{ldm.channels}")
+
+    if ldm.cond_mode == "concat":
+        raise SystemExit(
+            "concat-conditioned config (inpaint/SR/semantic-synthesis): "
+            "use `python -m celebbasis_tpu.cli.inpaint` for inpainting, or "
+            "drive LegacyLDM.make_sample_fn with conditioning arrays")
 
     rng = jax.random.key(args.seed)
     rng, k_init = jax.random.split(rng)
@@ -80,8 +97,36 @@ def main(argv=None):
         print(f"[sample_diffusion] bridged weights from {args.ckpt}")
 
     sample = ldm.make_sample_fn(num_steps=args.custom_steps, eta=args.eta,
-                                ddim=not args.vanilla)
+                                ddim=not args.vanilla,
+                                guidance_scale=args.scale,
+                                uncond_label=args.uncond_label)
     os.makedirs(args.logdir, exist_ok=True)
+    from PIL import Image
+
+    if args.per_class > 0:
+        # latent_imagenet_diffusion.ipynb flow: one batch per class label,
+        # CFG vs the learned uncond class, stacked into a grid
+        if ldm.cond_kind != "class":
+            raise SystemExit("--per-class needs a class-conditional config")
+        labels = args.classes or [0]
+        n = args.per_class
+        rows = []
+        for lbl in labels:
+            rng, k = jax.random.split(rng)
+            imgs = sample(params, k, np.full((n,), lbl, np.int64), n)
+            row = np.asarray(finish_images(imgs, "uint8"))
+            rows.append(row)
+            for j in range(n):
+                Image.fromarray(row[j]).save(os.path.join(
+                    args.logdir, f"class{lbl:04d}_{j:02d}.png"))
+            print(f"[sample_diffusion] class {lbl}: {n} samples "
+                  f"(scale {args.scale})")
+        grid = np.concatenate([np.concatenate(list(r), axis=1)
+                               for r in rows], axis=0)
+        Image.fromarray(grid).save(os.path.join(args.logdir, "grid.png"))
+        print(f"[sample_diffusion] wrote {grid.shape} grid.png to "
+              f"{args.logdir}")
+        return
 
     cond_batch = None
     n_done, all_imgs = 0, []
@@ -97,7 +142,6 @@ def main(argv=None):
         imgs = sample(params, k, cond_batch, n)
         pixels = np.asarray(finish_images(imgs, "uint8"))
         all_imgs.append(pixels)
-        from PIL import Image
         for j in range(n):
             Image.fromarray(pixels[j]).save(
                 os.path.join(args.logdir, f"{n_done + j:06}.png"))

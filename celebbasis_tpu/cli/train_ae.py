@@ -43,7 +43,8 @@ def build_first_stage_trainer(cfg: dict, dtype=None):
         out_ch=dd.get("out_ch", 3),
         attn_resolutions=tuple(dd.get("attn_resolutions", ()) or ()),
         double_z=dd.get("double_z", True),
-        resolution=dd.get("resolution", 256))
+        resolution=dd.get("resolution", 256),
+        attn_type=dd.get("attn_type", "vanilla"))
     if target.endswith("VQModel") or target.endswith("VQModelInterface"):
         model = VQModel(vcfg, n_embed=mp["n_embed"], dtype=dtype)
     elif target.endswith("AutoencoderKL"):

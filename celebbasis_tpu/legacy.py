@@ -32,6 +32,7 @@ from celebbasis_tpu.diffusion.schedules import (make_ddim_schedule,
 from celebbasis_tpu.models.bert_text import (BERTTextConfig, BERTTextEncoder,
                                              ClassEmbedder)
 from celebbasis_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+from celebbasis_tpu.models.cond_stages import SpatialRescaler
 from celebbasis_tpu.models.unet import UNetConfig, UNetModel
 from celebbasis_tpu.models.vae import AutoencoderKL, VAEConfig
 from celebbasis_tpu.models.vq import VQModelInterface
@@ -78,6 +79,7 @@ def _vae_cfg(fs_params: Dict, scale_factor: float = 1.0) -> VAEConfig:
         attn_resolutions=tuple(dd.get("attn_resolutions", ()) or ()),
         double_z=dd.get("double_z", True),
         resolution=dd.get("resolution", 256),
+        attn_type=dd.get("attn_type", "vanilla"),
     )
 
 
@@ -87,8 +89,12 @@ class LegacyLDM:
     unet: UNetModel
     first_stage: Any                   # AutoencoderKL | VQModelInterface
     first_stage_kind: str              # 'kl' | 'vq'
-    cond_kind: str                     # 'uncond' | 'class' | 'bert' | 'clip'
+    # 'uncond' | 'class' | 'bert' | 'clip' | 'rescaler' | 'identity'
+    # | 'first_stage'
+    cond_kind: str
     cond_stage: Any                    # module or None
+    cond_mode: str                     # 'none' | 'concat' | 'crossattn'
+    cond_stage_params: Dict            # raw cond_stage_config params
     tokenizer: Any                     # text tokenizer or None
     image_size: int                    # latent spatial size
     channels: int                      # latent channels
@@ -104,8 +110,11 @@ class LegacyLDM:
     # -- init ------------------------------------------------------------------
     def init_params(self, rng: jax.Array) -> Dict:
         ku, kf, kc = jax.random.split(rng, 3)
+        # concat mode: the UNet consumes latent ++ conditioning channels
+        # (e.g. inpainting_big in_channels=7 = 3 latent + 3 masked-enc + 1
+        # mask), so init with the UNet's own in_channels
         latent = jnp.zeros((1, self.image_size, self.image_size,
-                            self.channels))
+                            self.unet.cfg.in_channels))
         t = jnp.zeros((1,), jnp.int32)
         ctx = None
         if self.unet.cfg.use_spatial_transformer:
@@ -124,6 +133,12 @@ class LegacyLDM:
         elif self.cond_kind in ("bert", "clip"):
             ids = jnp.zeros((1, 77), jnp.int32)
             params["cond_stage"] = jax.jit(self.cond_stage.init)(kc, ids)
+        elif self.cond_kind == "rescaler":
+            n_up = 2 ** self.cond_stage.n_stages
+            seg = jnp.zeros((1, self.image_size * n_up,
+                             self.image_size * n_up,
+                             self.cond_stage_params.get("in_channels", 3)))
+            params["cond_stage"] = self.cond_stage.init(kc, seg)
         return params
 
     # -- first stage -------------------------------------------------------------
@@ -157,22 +172,46 @@ class LegacyLDM:
     def get_learned_conditioning(self, params: Dict, batch,
                                  inject: Optional[Callable] = None
                                  ) -> Optional[jax.Array]:
-        """prompts/labels -> (B, T, D) context (ddpm.py:599-611).  ``inject``
-        is the textual-inversion hook threaded to the token-embedding layer
+        """prompts/labels -> (B, T, D) context, or conditioning images ->
+        (B, h, w, c) concat maps (ddpm.py:599-611).  ``inject`` is the
+        textual-inversion hook threaded to the token-embedding layer
         (x_transformer.py:619-623 / modules.py embedding_manager kwarg)."""
         if self.cond_kind == "uncond":
             return None
         if self.cond_kind == "class":
             labels = jnp.asarray(batch, jnp.int32)
             return self.cond_stage.apply(params["cond_stage"], labels)
+        if self.cond_kind == "identity":
+            # bsr_sr: torch.nn.Identity over the LR image (NHWC [-1,1])
+            return jnp.asarray(batch)
+        if self.cond_kind == "rescaler":
+            # semantic synthesis: rescale segmentation to latent resolution
+            return self.cond_stage.apply(params["cond_stage"],
+                                         jnp.asarray(batch))
+        if self.cond_kind == "first_stage":
+            # inpainting_big: cond_stage_model IS the first stage; the
+            # reference calls .encode() directly — NO scale_factor
+            # (scripts/inpaint.py:77)
+            z = self.encode_first_stage(params, jnp.asarray(batch))
+            return z / self.scale_factor
         ids = jnp.asarray(self.tokenizer(batch))
         if inject is not None:
             return self.cond_stage.apply(params["cond_stage"], ids, inject)
         return self.cond_stage.apply(params["cond_stage"], ids)
 
     def eps_model(self, params: Dict) -> Callable:
-        def fn(x, t, ctx):
-            return self.unet.apply(params["unet"], x, t, ctx)
+        """(x, t, cond) -> eps, dispatching on the conditioning mode like
+        the reference DiffusionWrapper (ddpm.py:1537-1552): crossattn feeds
+        cond as attention context, concat appends it to the input channels."""
+        if self.cond_mode == "concat":
+            def fn(x, t, ctx):
+                return self.unet.apply(
+                    params["unet"],
+                    jnp.concatenate([x, ctx.astype(x.dtype)], axis=-1),
+                    t, None)
+        else:
+            def fn(x, t, ctx):
+                return self.unet.apply(params["unet"], x, t, ctx)
         return fn
 
     # -- training ----------------------------------------------------------------
@@ -193,7 +232,13 @@ class LegacyLDM:
             t = jax.random.randint(kt, (B,), 0, self.timesteps)
             noise = jax.random.normal(kn, z.shape)
             x_t = q_sample(sched, z, t, noise)
-            eps = self.unet.apply(unet_params, x_t, t, ctx)
+            if self.cond_mode == "concat" and ctx is not None:
+                eps = self.unet.apply(
+                    unet_params,
+                    jnp.concatenate([x_t, ctx.astype(x_t.dtype)], axis=-1),
+                    t, None)
+            else:
+                eps = self.unet.apply(unet_params, x_t, t, ctx)
             if self.loss_type == "l1":
                 return jnp.mean(jnp.abs(eps - noise))
             return jnp.mean((eps - noise) ** 2)
@@ -213,20 +258,32 @@ class LegacyLDM:
     def make_sample_fn(self, num_steps: int = 50, eta: float = 0.0,
                        ddim: bool = True, guidance_scale: float = 1.0,
                        force_not_quantize: bool = False,
-                       inject: Optional[Callable] = None) -> Callable:
+                       inject: Optional[Callable] = None,
+                       uncond_label: Optional[int] = None,
+                       raw_cond: bool = False) -> Callable:
         """(params, rng, batch_or_none, n) -> images float32 [-1,1] NHWC.
         DDIM via the scan sampler (sampler.py:88) or full-chain DDPM
         (scripts/sample_diffusion.py convsample / convsample_ddim).
         ``guidance_scale`` > 1 enables CFG against the empty prompt
-        (evaluate_model.py / LDMCLIPEvaluator: scale 5.0 vs n*[''])."""
+        (evaluate_model.py / LDMCLIPEvaluator: scale 5.0 vs n*['']) for
+        text conditioning, or against the learned ``uncond_label`` class
+        embedding for class conditioning (the reference's
+        latent_imagenet_diffusion.ipynb: uc = conditioning on label 1000
+        of cin256-v2's n_classes=1001; defaults to n_classes-1)."""
         sched = make_schedule("linear", self.timesteps,
                               linear_start=self.linear_start,
                               linear_end=self.linear_end)
 
         def fn(params, rng, cond_batch, n: int):
             shape = (n, self.image_size, self.image_size, self.channels)
-            ctx = self.get_learned_conditioning(params, cond_batch, inject) \
-                if cond_batch is not None else None
+            if raw_cond:
+                # caller-composed conditioning (e.g. cli/inpaint.py: encoded
+                # masked image ++ downsampled mask, scripts/inpaint.py:76-79)
+                ctx = cond_batch
+            else:
+                ctx = self.get_learned_conditioning(params, cond_batch,
+                                                    inject) \
+                    if cond_batch is not None else None
             eps = self.eps_model(params)
             uncond = None
             if ctx is None:
@@ -234,9 +291,18 @@ class LegacyLDM:
                 cond = jnp.zeros((n, 1, 1))
             else:
                 model, cond = eps, ctx
+                if guidance_scale != 1.0 and self.cond_mode == "concat":
+                    raise ValueError(
+                        "CFG over concat conditioning has no uncond source "
+                        "(no reference workload guides inpaint/SR/semantic)")
                 if guidance_scale != 1.0 and self.cond_kind in ("bert",
                                                                 "clip"):
                     uncond = self.get_learned_conditioning(params, [""] * n)
+                elif guidance_scale != 1.0 and self.cond_kind == "class":
+                    lbl = uncond_label if uncond_label is not None \
+                        else self.cond_stage.n_classes - 1
+                    uncond = self.get_learned_conditioning(
+                        params, jnp.full((n,), lbl, jnp.int32))
             scfg = SamplerConfig(guidance_scale=guidance_scale, eta=eta)
             if ddim:
                 dd = make_ddim_schedule(sched, num_steps, eta=eta)
@@ -262,7 +328,10 @@ class LegacyLDM:
 def build_legacy_ldm(cfg: Dict, dtype=jnp.bfloat16) -> LegacyLDM:
     """Reference LatentDiffusion YAML dict -> :class:`LegacyLDM`.
 
-    Accepts every shipped `configs/latent-diffusion/*.yaml`; raises with the
+    Accepts every shipped `configs/latent-diffusion/*.yaml` AND every
+    `models/ldm/*/config.yaml` (the reference's pretrained-model zoo:
+    crossattn text/class conditioning plus the concat-mode inpainting /
+    super-resolution / semantic-synthesis workloads); raises with the
     offending target string for anything else."""
     mp = get(cfg, "model.params", {}) or {}
     unet = UNetModel(_unet_cfg(get(cfg, "model.params.unet_config.params",
@@ -285,11 +354,16 @@ def build_legacy_ldm(cfg: Dict, dtype=jnp.bfloat16) -> LegacyLDM:
 
     cs = get(cfg, "model.params.cond_stage_config", "__is_unconditional__")
     tokenizer = None
-    if cs in ("__is_unconditional__", None, "__is_first_stage__"):
+    cs_params = {}
+    if cs in ("__is_unconditional__", None):
         cond_kind, cond_stage = "uncond", None
+    elif cs == "__is_first_stage__":
+        # inpainting_big: the cond stage IS the first stage encoder
+        # (ddpm.py:550-553); conditioning input is the masked image
+        cond_kind, cond_stage = "first_stage", None
     else:
         target = cs.get("target", "")
-        cp = cs.get("params", {}) or {}
+        cp = cs_params = cs.get("params", {}) or {}
         if target.endswith("ClassEmbedder"):
             cond_kind = "class"
             cond_stage = ClassEmbedder(n_classes=cp.get("n_classes", 1000),
@@ -305,12 +379,41 @@ def build_legacy_ldm(cfg: Dict, dtype=jnp.bfloat16) -> LegacyLDM:
             cond_kind = "clip"
             tokenizer = CLIPTokenizer.synthetic()
             cond_stage = CLIPTextEncoder(CLIPTextConfig.sd_v1(), dtype=dtype)
+        elif target.endswith("SpatialRescaler"):
+            # semantic_synthesis configs: rescale the one-hot segmentation
+            # to latent resolution + 1x1 channel map, concat-conditioned
+            cond_kind = "rescaler"
+            cond_stage = SpatialRescaler(
+                n_stages=cp.get("n_stages", 1),
+                method=cp.get("method", "bilinear"),
+                multiplier=cp.get("multiplier", 0.5),
+                out_channels=cp.get("out_channels"),
+                bias=cp.get("bias", False))
+        elif target.endswith("Identity"):
+            # bsr_sr: cond stage is torch.nn.Identity over the LR image
+            cond_kind, cond_stage = "identity", None
         else:
             raise ValueError(f"unsupported cond_stage target {target!r}")
 
+    # conditioning mode resolution (ddpm.py:459-465): explicit
+    # conditioning_key wins, else concat_mode (default True) decides;
+    # unconditional forces None
+    if cond_kind == "uncond":
+        cond_mode = "none"
+    else:
+        cond_mode = mp.get("conditioning_key") or \
+            ("concat" if mp.get("concat_mode", True) else "crossattn")
+    if cond_mode not in ("none", "concat", "crossattn"):
+        # DiffusionWrapper also lists 'hybrid'/'adm' (ddpm.py:1535) but no
+        # shipped config uses them — fail loudly rather than mis-condition
+        raise NotImplementedError(
+            f"conditioning_key {cond_mode!r} (no shipped reference config "
+            "uses hybrid/adm)")
+
     return LegacyLDM(
         unet=unet, first_stage=first_stage, first_stage_kind=fs_kind,
-        cond_kind=cond_kind, cond_stage=cond_stage, tokenizer=tokenizer,
+        cond_kind=cond_kind, cond_stage=cond_stage, cond_mode=cond_mode,
+        cond_stage_params=cs_params, tokenizer=tokenizer,
         image_size=mp.get("image_size", 64), channels=mp.get("channels", 3),
         timesteps=mp.get("timesteps", 1000),
         linear_start=mp.get("linear_start", 0.0015),

@@ -43,6 +43,9 @@ class VAEConfig:
     attn_resolutions: Tuple[int, ...] = ()
     double_z: bool = True
     resolution: int = 256
+    # reference make_attn (model.py:276-285): 'vanilla' full attention or
+    # 'none' (nn.Identity everywhere — vq-f4-noattn, inpainting_big)
+    attn_type: str = "vanilla"
 
     def level_res(self, level: int) -> int:
         """Spatial resolution at `level` (reference curr_res ladder)."""
@@ -107,7 +110,8 @@ class Encoder(nn.Module):
             ch = cfg.ch * mult
             for j in range(cfg.num_res_blocks):
                 h = VAEResBlock(ch, self.dtype, name=f"down_{level}_res_{j}")(h)
-                if cfg.level_res(level) in cfg.attn_resolutions:
+                if (cfg.level_res(level) in cfg.attn_resolutions
+                        and cfg.attn_type != "none"):
                     h = VAEAttnBlock(self.dtype,
                                      name=f"down_{level}_attn_{j}")(h)
             if level != len(cfg.ch_mult) - 1:
@@ -118,7 +122,8 @@ class Encoder(nn.Module):
                             name=f"down_{level}_downsample")(h)
         ch = cfg.ch * cfg.ch_mult[-1]
         h = VAEResBlock(ch, self.dtype, name="mid_res_0")(h)
-        h = VAEAttnBlock(self.dtype, name="mid_attn")(h)
+        if cfg.attn_type != "none":
+            h = VAEAttnBlock(self.dtype, name="mid_attn")(h)
         h = VAEResBlock(ch, self.dtype, name="mid_res_1")(h)
         h = GroupNorm(name="norm_out")(h)
         h = nn.swish(h)
@@ -139,13 +144,15 @@ class Decoder(nn.Module):
         h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv_in")(z.astype(self.dtype))
         h = VAEResBlock(ch, self.dtype, name="mid_res_0")(h)
-        h = VAEAttnBlock(self.dtype, name="mid_attn")(h)
+        if cfg.attn_type != "none":
+            h = VAEAttnBlock(self.dtype, name="mid_attn")(h)
         h = VAEResBlock(ch, self.dtype, name="mid_res_1")(h)
         for level, mult in reversed(list(enumerate(cfg.ch_mult))):
             ch = cfg.ch * mult
             for j in range(cfg.num_res_blocks + 1):
                 h = VAEResBlock(ch, self.dtype, name=f"up_{level}_res_{j}")(h)
-                if cfg.level_res(level) in cfg.attn_resolutions:
+                if (cfg.level_res(level) in cfg.attn_resolutions
+                        and cfg.attn_type != "none"):
                     h = VAEAttnBlock(self.dtype, name=f"up_{level}_attn_{j}")(h)
             if level != 0:
                 h = upsample2x_nearest(h)

@@ -327,15 +327,19 @@ def _map_vae_attn(km: KeyMap, dst: str, src: str):
 def _map_ldm_backbone(km: KeyMap, ch_mult: Tuple[int, ...],
                       num_res_blocks: int,
                       attn_resolutions: Tuple[int, ...] = (),
-                      resolution: int = 256):
+                      resolution: int = 256,
+                      attn_type: str = "vanilla"):
     """Shared ldm Encoder/Decoder mapping (model.py:368-545), including the
     legacy in-level attention at `attn_resolutions` (resolution at level l
-    is resolution >> l, for encoder and decoder alike)."""
+    is resolution >> l, for encoder and decoder alike).  ``attn_type='none'``
+    skips every attention block (reference make_attn -> nn.Identity:
+    vq-f4-noattn, inpainting_big)."""
     n_levels = len(ch_mult)
+    no_attn = attn_type == "none"
     # encoder
     km.conv("encoder/conv_in", "encoder.conv_in")
     for l in range(n_levels):
-        has_attn = (resolution >> l) in attn_resolutions
+        has_attn = (resolution >> l) in attn_resolutions and not no_attn
         for j in range(num_res_blocks):
             _map_vae_res(km, f"encoder/down_{l}_res_{j}",
                          f"encoder.down.{l}.block.{j}")
@@ -346,17 +350,19 @@ def _map_ldm_backbone(km: KeyMap, ch_mult: Tuple[int, ...],
             km.conv(f"encoder/down_{l}_downsample",
                     f"encoder.down.{l}.downsample.conv")
     _map_vae_res(km, "encoder/mid_res_0", "encoder.mid.block_1")
-    _map_vae_attn(km, "encoder/mid_attn", "encoder.mid.attn_1")
+    if not no_attn:
+        _map_vae_attn(km, "encoder/mid_attn", "encoder.mid.attn_1")
     _map_vae_res(km, "encoder/mid_res_1", "encoder.mid.block_2")
     km.norm("encoder/norm_out/GroupNorm_0", "encoder.norm_out")
     km.conv("encoder/conv_out", "encoder.conv_out")
     # decoder (torch 'up' is indexed by level, iterated in reverse)
     km.conv("decoder/conv_in", "decoder.conv_in")
     _map_vae_res(km, "decoder/mid_res_0", "decoder.mid.block_1")
-    _map_vae_attn(km, "decoder/mid_attn", "decoder.mid.attn_1")
+    if not no_attn:
+        _map_vae_attn(km, "decoder/mid_attn", "decoder.mid.attn_1")
     _map_vae_res(km, "decoder/mid_res_1", "decoder.mid.block_2")
     for l in range(n_levels):
-        has_attn = (resolution >> l) in attn_resolutions
+        has_attn = (resolution >> l) in attn_resolutions and not no_attn
         for j in range(num_res_blocks + 1):
             _map_vae_res(km, f"decoder/up_{l}_res_{j}",
                          f"decoder.up.{l}.block.{j}")
@@ -375,11 +381,12 @@ def convert_vae(state: Dict[str, np.ndarray],
                 num_res_blocks: int = 2,
                 prefix: str = "first_stage_model.",
                 attn_resolutions: Tuple[int, ...] = (),
-                resolution: int = 256) -> Dict:
+                resolution: int = 256,
+                attn_type: str = "vanilla") -> Dict:
     src = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
     km = KeyMap(src)
     _map_ldm_backbone(km, ch_mult, num_res_blocks, attn_resolutions,
-                      resolution)
+                      resolution, attn_type)
     km.conv("quant_conv", "quant_conv")
     km.conv("post_quant_conv", "post_quant_conv")
     return {"params": unflatten(km.out)}
@@ -390,7 +397,8 @@ def convert_vq(state: Dict[str, np.ndarray],
                num_res_blocks: int,
                prefix: str = "first_stage_model.",
                attn_resolutions: Tuple[int, ...] = (),
-               resolution: int = 256) -> Dict:
+               resolution: int = 256,
+               attn_type: str = "vanilla") -> Dict:
     """VQModel(Interface) checkpoint (autoencoder.py:14-120) -> Flax pytree.
 
     Same backbone mapping as the KL VAE plus the codebook
@@ -398,7 +406,7 @@ def convert_vq(state: Dict[str, np.ndarray],
     src = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
     km = KeyMap(src)
     _map_ldm_backbone(km, ch_mult, num_res_blocks, attn_resolutions,
-                      resolution)
+                      resolution, attn_type)
     km.conv("quant_conv", "quant_conv")
     km.conv("post_quant_conv", "post_quant_conv")
     km.put("quantize/embedding", km.take("quantize.embedding.weight"))
@@ -413,12 +421,13 @@ def export_vae(params: Dict,
                ch_mult: Tuple[int, ...] = (1, 2, 4, 4),
                num_res_blocks: int = 2,
                attn_resolutions: Tuple[int, ...] = (),
-               resolution: int = 256) -> Dict[str, np.ndarray]:
+               resolution: int = 256,
+               attn_type: str = "vanilla") -> Dict[str, np.ndarray]:
     """AutoencoderKL Flax params -> reference torch state_dict
     (autoencoder.py:284-330 layout; loads with strict=True)."""
     em = ExportMap(params)
     _map_ldm_backbone(em, ch_mult, num_res_blocks, attn_resolutions,
-                      resolution)
+                      resolution, attn_type)
     em.conv("quant_conv", "quant_conv")
     em.conv("post_quant_conv", "post_quant_conv")
     return em.out
@@ -428,12 +437,13 @@ def export_vq(params: Dict,
               ch_mult: Tuple[int, ...],
               num_res_blocks: int,
               attn_resolutions: Tuple[int, ...] = (),
-              resolution: int = 256) -> Dict[str, np.ndarray]:
+              resolution: int = 256,
+              attn_type: str = "vanilla") -> Dict[str, np.ndarray]:
     """VQModel(Interface) Flax params -> reference torch state_dict
     (autoencoder.py:14-120 + taming codebook)."""
     em = ExportMap(params)
     _map_ldm_backbone(em, ch_mult, num_res_blocks, attn_resolutions,
-                      resolution)
+                      resolution, attn_type)
     em.conv("quant_conv", "quant_conv")
     em.conv("post_quant_conv", "post_quant_conv")
     em.out["quantize.embedding.weight"] = em.take("quantize/embedding")

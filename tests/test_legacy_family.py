@@ -19,6 +19,7 @@ import numpy as np
 import pytest
 
 sys.path.insert(0, "/root/reference")
+sys.path.insert(0, "/root/repo/tests/_stubs")   # minimal omegaconf stub
 
 import jax
 import jax.numpy as jnp
@@ -408,6 +409,54 @@ def test_tiny_legacy_class_conditional_sample():
     assert np.isfinite(np.asarray(imgs)).all()
 
 
+def _denullify(tree, key, scale=0.05):
+    """Replace all-zero param leaves (the reference's zero_module layers)
+    with small random values so outputs depend on every input path."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = []
+    for i, lf in enumerate(leaves):
+        if hasattr(lf, "ndim") and lf.ndim >= 1 and \
+                not np.any(np.asarray(lf)):
+            out.append(jax.random.normal(jax.random.fold_in(key, i),
+                                         lf.shape, lf.dtype) * scale)
+        else:
+            out.append(lf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def test_tiny_legacy_class_conditional_cfg():
+    """Class-conditional CFG guides against the learned uncond class
+    (latent_imagenet_diffusion.ipynb: uc = label 1000 of n_classes=1001;
+    here the tiny config's n_classes-1 = 10 by default)."""
+    from celebbasis_tpu.legacy import build_legacy_ldm
+    ldm = build_legacy_ldm(_tiny_legacy_cfg("vq", "class"),
+                           dtype=jnp.float32)
+    params = ldm.init_params(jax.random.key(0))
+    # perturb every zero-init leaf (conv_out AND the transformer proj_out)
+    # so eps actually depends on the conditioning — at pure random init the
+    # reference's zero_module layers make CFG a trivial no-op
+    params["unet"] = _denullify(params["unet"], jax.random.PRNGKey(9))
+    labels = np.array([3, 7])
+    plain = ldm.make_sample_fn(num_steps=3)(
+        params, jax.random.key(1), labels, 2)
+    cfg = ldm.make_sample_fn(num_steps=3, guidance_scale=3.0)(
+        params, jax.random.key(1), labels, 2)
+    assert cfg.shape == plain.shape
+    assert np.isfinite(np.asarray(cfg)).all()
+    # scale engages the uncond branch: output must differ from scale=1
+    assert not np.allclose(np.asarray(plain), np.asarray(cfg))
+    # explicit uncond_label == default n_classes-1 is bit-identical
+    explicit = ldm.make_sample_fn(num_steps=3, guidance_scale=3.0,
+                                  uncond_label=10)(
+        params, jax.random.key(1), labels, 2)
+    np.testing.assert_array_equal(np.asarray(cfg), np.asarray(explicit))
+    # ... and a different uncond label changes the guidance direction
+    other = ldm.make_sample_fn(num_steps=3, guidance_scale=3.0,
+                               uncond_label=0)(
+        params, jax.random.key(1), labels, 2)
+    assert not np.allclose(np.asarray(cfg), np.asarray(other))
+
+
 def test_tiny_legacy_bert_conditional():
     from celebbasis_tpu.legacy import build_legacy_ldm
     ldm = build_legacy_ldm(_tiny_legacy_cfg("kl", "bert"),
@@ -687,6 +736,92 @@ def test_composed_legacy_ddim_parity():
     got = ddim_sample(eps, dd, rng=jax.random.key(0),
                       shape=(2, 16, 16, 3), cond=jnp.zeros((2, 1, 1)),
                       cfg=SamplerConfig(guidance_scale=1.0, eta=0.0),
+                      x_T=jnp.asarray(x_T.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                               want.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_composed_legacy_ddim_cfg_parity():
+    """CFG composition golden test: the reference DDIMSampler with
+    unconditional_guidance_scale (ddim.py:166-182: cat([x]*2), chunk,
+    e_uc + s*(e_c - e_uc)) vs our batched-CFG scan — conditional UNet
+    (SpatialTransformer context, as the class/BERT paths feed it),
+    scale 3.0, same x_T and contexts.  Pins the guidance math the
+    class-conditional uncond_label path rides
+    (latent_imagenet_diffusion.ipynb flow)."""
+    from ldm.models.diffusion.ddim import DDIMSampler
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as RefUNet
+
+    from celebbasis_tpu.diffusion.sampler import (SamplerConfig, ddim_sample)
+    from celebbasis_tpu.diffusion.schedules import (make_ddim_schedule,
+                                                    make_schedule)
+    from celebbasis_tpu.models.unet import UNetConfig, UNetModel
+    from celebbasis_tpu.utils import bridge
+
+    T, S, D = 16, 4, 16
+    cfg = UNetConfig(in_channels=3, out_channels=3, model_channels=32,
+                     channel_mult=(1, 2), num_res_blocks=1,
+                     attention_resolutions=(2,), num_heads=4,
+                     use_spatial_transformer=True, transformer_depth=1,
+                     context_dim=D)
+    model = UNetModel(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    ctx = rng.normal(size=(2, 1, D)).astype(np.float32)
+    uctx = rng.normal(size=(2, 1, D)).astype(np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 16, 16, 3)),
+                                 jnp.zeros((1,), jnp.int32),
+                                 jnp.asarray(ctx[:1]))
+    # make the zero_module layers non-zero so the context path is live on
+    # both sides (exported below), otherwise CFG parity is trivial
+    params = _denullify(params, jax.random.PRNGKey(9))
+
+    ref = RefUNet(image_size=16, in_channels=3, out_channels=3,
+                  model_channels=32, attention_resolutions=[2],
+                  num_res_blocks=1, channel_mult=[1, 2], num_heads=4,
+                  use_spatial_transformer=True, transformer_depth=1,
+                  context_dim=D, use_checkpoint=False).eval()
+    ref.load_state_dict(
+        {kk: torch.from_numpy(np.ascontiguousarray(v)) for kk, v in
+         bridge.export_unet(jax.device_get(params), cfg,
+                            prefix="").items()}, strict=True)
+
+    sched = make_schedule("linear", T, linear_start=0.0015,
+                          linear_end=0.0195)
+
+    class _Shim:
+        num_timesteps = T
+        betas = torch.from_numpy(sched.betas).float()
+        alphas_cumprod = torch.from_numpy(sched.alphas_cumprod).float()
+        alphas_cumprod_prev = torch.from_numpy(
+            sched.alphas_cumprod_prev).float()
+        device = torch.device("cpu")
+        parameterization = "eps"
+
+        @staticmethod
+        def apply_model(x, t, c):
+            with torch.no_grad():
+                return ref(x, t, context=c)
+
+    class _CPUSampler(DDIMSampler):
+        def register_buffer(self, name, attr):
+            setattr(self, name, attr)
+
+    sampler = _CPUSampler(_Shim())
+    x_T = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    want, _ = sampler.sample(
+        S=S, batch_size=2, shape=(3, 16, 16),
+        conditioning=torch.from_numpy(ctx), eta=0.0, verbose=False,
+        unconditional_guidance_scale=3.0,
+        unconditional_conditioning=torch.from_numpy(uctx),
+        x_T=torch.from_numpy(x_T))
+
+    dd = make_ddim_schedule(sched, S, eta=0.0)
+    eps = lambda x, t, c: model.apply(params, x, t, c)
+    got = ddim_sample(eps, dd, rng=jax.random.key(0),
+                      shape=(2, 16, 16, 3), cond=jnp.asarray(ctx),
+                      uncond=jnp.asarray(uctx),
+                      cfg=SamplerConfig(guidance_scale=3.0, eta=0.0),
                       x_T=jnp.asarray(x_T.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
                                want.numpy(), atol=5e-4, rtol=1e-3)
