@@ -99,6 +99,18 @@ REFERENCE_TARGETS: Dict[str, Callable] = {
         _ae_loss("VQLPIPSWithDiscriminator"),
     "taming.modules.losses.vqperceptual.VQLPIPSWithDiscriminator":
         _ae_loss("VQLPIPSWithDiscriminator"),
+    # inference-only zoo configs carry a placeholder loss (contperceptual.py)
+    "ldm.modules.losses.contperceptual.DummyLoss": lambda **_: None,
+    # spatial cond stage for the concat-mode semantic-synthesis configs
+    "ldm.modules.encoders.modules.SpatialRescaler": (
+        lambda **p: __import__(
+            "celebbasis_tpu.models.cond_stages",
+            fromlist=["SpatialRescaler"]).SpatialRescaler(
+                n_stages=p.get("n_stages", 1),
+                method=p.get("method", "bilinear"),
+                multiplier=p.get("multiplier", 0.5),
+                out_channels=p.get("out_channels"),
+                bias=p.get("bias", False))),
 }
 
 
