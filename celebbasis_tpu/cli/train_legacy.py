@@ -68,10 +68,14 @@ def make_legacy_trainer(ldm: LegacyLDM, cfg: Dict,
     def ctx_of(trainable, frozen, cond_input):
         if cond_input is None:
             return None
+        if ldm.cond_kind == "identity":     # bsr_sr: LR image as-is
+            return cond_input
+        if ldm.cond_kind == "first_stage":  # inpainting: frozen encode
+            return ldm.encode_first_stage(frozen, cond_input) \
+                / ldm.scale_factor
         cs = trainable.get("cond_stage", frozen.get("cond_stage"))
-        if ldm.cond_kind == "class":
-            return ldm.cond_stage.apply(cs, cond_input)
-        return ldm.cond_stage.apply(cs, cond_input)   # token ids
+        # class labels / token ids / rescaler segmentation images
+        return ldm.cond_stage.apply(cs, cond_input)
 
     def loss_fn(trainable, frozen, z, cond_input, rng):
         kt, kn = jax.random.split(rng)
@@ -80,7 +84,13 @@ def make_legacy_trainer(ldm: LegacyLDM, cfg: Dict,
         noise = jax.random.normal(kn, z.shape)
         x_t = q_sample(arrays, z, t, noise)
         ctx = ctx_of(trainable, frozen, cond_input)
-        eps = ldm.unet.apply(trainable["unet"], x_t, t, ctx)
+        if ldm.cond_mode == "concat" and ctx is not None:
+            eps = ldm.unet.apply(
+                trainable["unet"],
+                jnp.concatenate([x_t, ctx.astype(x_t.dtype)], axis=-1),
+                t, None)
+        else:
+            eps = ldm.unet.apply(trainable["unet"], x_t, t, ctx)
         if ldm.loss_type == "l1":
             return jnp.mean(jnp.abs(eps - noise))
         return jnp.mean((eps - noise) ** 2)
@@ -155,10 +165,27 @@ def main(argv=None):
         labels = np.random.default_rng(1).integers(
             0, max(n_classes, 1), (args.fake_data,))
         caps = [f"a photo number {i}" for i in range(args.fake_data)]
+        conds = None
+        if ldm.cond_mode == "concat":
+            if ldm.cond_kind == "first_stage":
+                conds = data                      # masked-image stand-in
+            elif ldm.cond_kind == "rescaler":
+                n_up = 2 ** ldm.cond_stage.n_stages
+                shape = (args.fake_data, ldm.image_size * n_up,
+                         ldm.image_size * n_up,
+                         ldm.cond_stage_params.get("in_channels", 3))
+                conds = np.random.default_rng(2).uniform(
+                    -1, 1, shape).astype(np.float32)
+            else:                                  # identity (LR image)
+                c_ch = ldm.unet.cfg.in_channels - ldm.channels
+                conds = np.random.default_rng(2).uniform(
+                    -1, 1, (args.fake_data, ldm.image_size, ldm.image_size,
+                            c_ch)).astype(np.float32)
 
         def batch(i):
             idx = [(i * bs + j) % args.fake_data for j in range(bs)]
-            return (data[idx], labels[idx], [caps[k] for k in idx])
+            return (data[idx], labels[idx], [caps[k] for k in idx],
+                    conds[idx] if conds is not None else None)
     else:
         ds = instantiate_from_config(get(cfg, "data.params.train"))
 
@@ -168,14 +195,16 @@ def main(argv=None):
             imgs = np.stack([e["image"] for e in ex])
             lab = np.asarray([e.get("class_label", 0) for e in ex])
             caps_ = [e.get("caption", "") for e in ex]
-            return imgs, lab, caps_
+            cond = np.stack([e[ldm.cond_stage_key] for e in ex]) \
+                if ldm.cond_mode == "concat" else None
+            return imgs, lab, caps_, cond
 
     # jitted frozen encode (mode latents, like get_input's fallback)
     encode = jax.jit(lambda p, x: ldm.encode_first_stage(p, x))
 
     # scale_by_std: calibrate on the first batch (ddpm.py:576-587)
     if ldm.scale_by_std:
-        imgs0, _, _ = batch(0)
+        imgs0, _, _, _ = batch(0)
         ldm.calibrate_scale(params, jnp.asarray(imgs0))
         encode = jax.jit(lambda p, x: ldm.encode_first_stage(p, x))
         print(f"[train_legacy] scale_by_std -> {ldm.scale_factor:.4f}")
@@ -221,9 +250,11 @@ def main(argv=None):
     metrics = open(os.path.join(args.logdir, "metrics.jsonl"), "a")
     t0 = time.time()
     for i in range(start, args.max_steps):
-        imgs, lab, caps_ = batch(i)
+        imgs, lab, caps_, cond_img = batch(i)
         z = encode(params, jnp.asarray(imgs))
-        if ldm.cond_kind == "uncond":
+        if ldm.cond_mode == "concat":
+            cond_input = jnp.asarray(cond_img)
+        elif ldm.cond_kind == "uncond":
             cond_input = None
         elif ldm.cond_kind == "class":
             cond_input = jnp.asarray(lab, jnp.int32)
@@ -245,8 +276,12 @@ def main(argv=None):
             ckpt.maybe_save(i + 1, {"params": params, "opt": opt_state,
                                     "ema": ema.params if use_ema else None})
         if args.image_every and (i + 1) % args.image_every == 0:
-            cs = None if ldm.cond_kind == "uncond" else \
-                (lab if ldm.cond_kind == "class" else caps_)
+            if ldm.cond_mode == "concat":
+                cs = cond_img
+            elif ldm.cond_kind == "uncond":
+                cs = None
+            else:
+                cs = lab if ldm.cond_kind == "class" else caps_
             log_images(i + 1, cs)
     if ckpt is not None:
         ckpt.close()
@@ -275,6 +310,15 @@ def main(argv=None):
             sd["cond_stage_model.embedding.weight"] = np.asarray(
                 jax.device_get(
                     params["cond_stage"])["params"]["embedding"])
+        elif ldm.cond_kind == "rescaler":
+            cm = jax.device_get(
+                params["cond_stage"])["params"].get("channel_mapper")
+            if cm is not None:   # 1x1 conv HWIO -> torch OIHW
+                sd["cond_stage_model.channel_mapper.weight"] = np.transpose(
+                    np.asarray(cm["kernel"]), (3, 2, 0, 1))
+                if "bias" in cm:
+                    sd["cond_stage_model.channel_mapper.bias"] = \
+                        np.asarray(cm["bias"])
         save_pt({"state_dict": sd}, args.export_torch)
         print(f"[train_legacy] exported torch state_dict ({len(sd)} keys"
               f"{', EMA unet' if use_ema else ''}) -> {args.export_torch}")

@@ -241,6 +241,32 @@ def test_concat_train_step_moves_params():
         np.asarray(p1["unet"]["params"]["conv_out"]["Conv_0"]["kernel"]))
 
 
+def test_train_legacy_cli_concat(tmp_path):
+    """train_legacy drives concat configs end-to-end (SR-style identity
+    cond + inpaint-style first_stage cond), fake data, loss finite."""
+    import json
+    from celebbasis_tpu.cli.train_legacy import main as train_main
+
+    for cond, extra in ((
+            {"target": "torch.nn.Identity"}, 0),
+            ("__is_first_stage__", 1)):
+        cfg = _tiny_concat_cfg(cond=cond, extra_cond_ch=extra)
+        if cond == "__is_first_stage__":
+            # fake cond is the image itself (3ch): in = 3 latent + 3 enc
+            cfg["model"]["params"]["unet_config"]["params"]["in_channels"] \
+                = 6
+        cfg["model"]["params"]["use_ema"] = False
+        path = tmp_path / "cfg.yaml"
+        path.write_text(yaml.safe_dump(cfg))
+        logdir = tmp_path / f"logs_{extra}"
+        train_main(["--config", str(path), "--max-steps", "2",
+                    "--batch-size", "2", "--fake-data", "4",
+                    "--logdir", str(logdir), "--no-ema"])
+        rows = [json.loads(l) for l in
+                (logdir / "metrics.jsonl").read_text().splitlines()]
+        assert rows and all(np.isfinite(r["loss"]) for r in rows)
+
+
 def test_tiny_rescaler_concat_sample():
     """semantic-synthesis-style: SpatialRescaler cond stage, concat mode."""
     cfg = _tiny_concat_cfg(
