@@ -153,6 +153,94 @@ def test_build_every_zoo_first_stage_config():
             assert trainer.model.cfg.attn_type == "none"
 
 
+def _meta_state(module_cls, params):
+    """Instantiate a reference torch module at FULL config size on the meta
+    device (shapes only, no 270M-param allocations) -> {key: zeros(shape)}."""
+    try:
+        with torch.device("meta"):
+            mod = module_cls(**params)
+    except Exception:                       # meta unsupported in some init
+        mod = module_cls(**params)
+    return {k: np.zeros(tuple(v.shape), np.float32)
+            for k, v in mod.state_dict().items()}
+
+
+def _shape_tree(tree):
+    import jax.tree_util as jtu
+    return {jtu.keystr(p): tuple(v.shape)
+            for p, v in jtu.tree_flatten_with_path(tree)[0]}
+
+
+@pytest.mark.parametrize("path", ZOO_LDM,
+                         ids=[os.path.basename(os.path.dirname(p))
+                              for p in ZOO_LDM])
+def test_zoo_bridge_structural(path):
+    """Full-size structural bridge audit over the whole model zoo: the
+    reference's own torch UNet + first stage (meta device, real config
+    sizes) convert through the bridges into pytrees whose every leaf shape
+    matches our models' eval_shape init — and export back to the exact
+    torch key set (strict=True loadable).  Catches any layout the tiny
+    golden tests don't reach (e.g. inpainting_big's 256-ch resblock_updown
+    UNet, lsun_churches' scale-shift norm) without allocating weights."""
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as RefUNet
+
+    from celebbasis_tpu.utils import bridge
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    ldm = build_legacy_ldm(cfg, dtype=jnp.float32)
+    up = cfg["model"]["params"]["unet_config"]["params"]
+
+    # -- UNet ---------------------------------------------------------------
+    ref_sd = _meta_state(RefUNet, {**up, "use_checkpoint": False})
+    got = bridge.convert_unet({f"model.diffusion_model.{k}": v
+                               for k, v in ref_sd.items()}, ldm.unet.cfg)
+    ctx = jnp.zeros((1, 77, ldm.unet.cfg.context_dim)) \
+        if ldm.unet.cfg.use_spatial_transformer else None
+    want = jax.eval_shape(
+        ldm.unet.init, jax.random.key(0),
+        jnp.zeros((1, ldm.image_size, ldm.image_size,
+                   ldm.unet.cfg.in_channels)),
+        jnp.zeros((1,), jnp.int32), ctx)
+    assert _shape_tree(got) == _shape_tree(want)
+    back = bridge.export_unet(got, ldm.unet.cfg, prefix="")
+    assert set(back) == set(ref_sd)
+    assert all(back[k].shape == ref_sd[k].shape for k in ref_sd)
+
+    # -- first stage ----------------------------------------------------------
+    fsp = cfg["model"]["params"]["first_stage_config"]["params"]
+    dd = fsp["ddconfig"]
+    kw = dict(ch_mult=tuple(dd["ch_mult"]),
+              num_res_blocks=dd["num_res_blocks"],
+              attn_resolutions=tuple(dd.get("attn_resolutions", ()) or ()),
+              resolution=dd.get("resolution", 256),
+              attn_type=dd.get("attn_type", "vanilla"))
+    if ldm.first_stage_kind == "vq":
+        from ldm.models.autoencoder import VQModelInterface as RefVQ
+        ref_fs = _meta_state(RefVQ, dict(
+            embed_dim=fsp["embed_dim"], n_embed=fsp["n_embed"],
+            ddconfig=dd, lossconfig={"target": "torch.nn.Identity"}))
+        got_fs = bridge.convert_vq(
+            {f"first_stage_model.{k}": v for k, v in ref_fs.items()}, **kw)
+        img = jnp.zeros((1, dd["resolution"], dd["resolution"], 3))
+        want_fs = jax.eval_shape(ldm.first_stage.init, jax.random.key(0),
+                                 img)
+        back_fs = bridge.export_vq(got_fs, **kw)
+    else:
+        from ldm.models.autoencoder import AutoencoderKL as RefKL
+        ref_fs = _meta_state(RefKL, dict(
+            embed_dim=fsp["embed_dim"], ddconfig=dd,
+            lossconfig={"target": "torch.nn.Identity"}))
+        got_fs = bridge.convert_vae(
+            {f"first_stage_model.{k}": v for k, v in ref_fs.items()}, **kw)
+        img = jnp.zeros((1, dd["resolution"], dd["resolution"], 3))
+        want_fs = jax.eval_shape(ldm.first_stage.init, jax.random.key(0),
+                                 img, jax.random.key(1))
+        back_fs = bridge.export_vae(got_fs, **kw)
+    assert _shape_tree(got_fs) == _shape_tree(want_fs)
+    assert set(back_fs) == set(ref_fs)
+
+
 # ---------------------------------------------------------------------------
 # tiny end-to-end: inpainting + concat training
 # ---------------------------------------------------------------------------
