@@ -57,6 +57,9 @@ def main(argv=None):
                     help="prompt for text-conditional configs")
     ap.add_argument("--ckpt", default=None,
                     help="optional torch .ckpt to bridge weights from")
+    ap.add_argument("--sr-input", default=None,
+                    help="LR image for super-resolution concat configs "
+                         "(bsr_sr: resized to latent resolution, N samples)")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -66,11 +69,21 @@ def main(argv=None):
     print(f"[sample_diffusion] first_stage={ldm.first_stage_kind} "
           f"cond={ldm.cond_kind} latent={ldm.image_size}^2x{ldm.channels}")
 
+    sr_cond = None
     if ldm.cond_mode == "concat":
-        raise SystemExit(
-            "concat-conditioned config (inpaint/SR/semantic-synthesis): "
-            "use `python -m celebbasis_tpu.cli.inpaint` for inpainting, or "
-            "drive LegacyLDM.make_sample_fn with conditioning arrays")
+        if args.sr_input and ldm.cond_kind == "identity":
+            # bsr_sr flow: the LR image (at latent resolution) rides as
+            # concat channels; N samples of the same LR input
+            from PIL import Image
+            lr = Image.open(args.sr_input).convert("RGB").resize(
+                (ldm.image_size, ldm.image_size), Image.BICUBIC)
+            sr_cond = np.asarray(lr, np.float32)[None] / 127.5 - 1.0
+        else:
+            raise SystemExit(
+                "concat-conditioned config: use `python -m "
+                "celebbasis_tpu.cli.inpaint` for inpainting, pass "
+                "--sr-input for super-resolution configs, or drive "
+                "LegacyLDM.make_sample_fn with conditioning arrays")
 
     rng = jax.random.key(args.seed)
     rng, k_init = jax.random.split(rng)
@@ -134,7 +147,9 @@ def main(argv=None):
     while n_done < args.n_samples:
         n = min(args.batch_size, args.n_samples - n_done)
         rng, k = jax.random.split(rng)
-        if ldm.cond_kind == "class":
+        if sr_cond is not None:
+            cond_batch = np.repeat(sr_cond, n, axis=0)
+        elif ldm.cond_kind == "class":
             labels = (args.classes or list(range(n)))[:n]
             cond_batch = np.asarray(labels + [0] * (n - len(labels)))
         elif ldm.cond_kind in ("bert", "clip"):
