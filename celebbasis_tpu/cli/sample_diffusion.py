@@ -60,6 +60,10 @@ def main(argv=None):
     ap.add_argument("--sr-input", default=None,
                     help="LR image for super-resolution concat configs "
                          "(bsr_sr: resized to latent resolution, N samples)")
+    ap.add_argument("--seg-input", default=None,
+                    help="segmentation map (PNG of class indices) for "
+                         "semantic-synthesis configs; one-hot encoded to "
+                         "the SpatialRescaler's in_channels")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
@@ -71,19 +75,29 @@ def main(argv=None):
 
     sr_cond = None
     if ldm.cond_mode == "concat":
+        from PIL import Image
         if args.sr_input and ldm.cond_kind == "identity":
             # bsr_sr flow: the LR image (at latent resolution) rides as
             # concat channels; N samples of the same LR input
-            from PIL import Image
             lr = Image.open(args.sr_input).convert("RGB").resize(
                 (ldm.image_size, ldm.image_size), Image.BICUBIC)
             sr_cond = np.asarray(lr, np.float32)[None] / 127.5 - 1.0
+        elif args.seg_input and ldm.cond_kind == "rescaler":
+            # semantic synthesis: class-index PNG -> one-hot (B,H,W,182)
+            # at 2^n_stages x latent resolution, rescaler+concat-fed
+            n_up = 2 ** ldm.cond_stage.n_stages
+            res = ldm.image_size * n_up
+            seg = Image.open(args.seg_input).convert("L").resize(
+                (res, res), Image.NEAREST)
+            n_cls = ldm.cond_stage_params.get("in_channels", 182)
+            idx = np.minimum(np.asarray(seg, np.int64), n_cls - 1)
+            sr_cond = np.eye(n_cls, dtype=np.float32)[idx][None]
         else:
             raise SystemExit(
                 "concat-conditioned config: use `python -m "
                 "celebbasis_tpu.cli.inpaint` for inpainting, pass "
-                "--sr-input for super-resolution configs, or drive "
-                "LegacyLDM.make_sample_fn with conditioning arrays")
+                "--sr-input (SR) or --seg-input (semantic synthesis), or "
+                "drive LegacyLDM.make_sample_fn with conditioning arrays")
 
     rng = jax.random.key(args.seed)
     rng, k_init = jax.random.split(rng)
