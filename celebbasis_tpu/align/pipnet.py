@@ -37,6 +37,8 @@ class PIPNetConfig:
     num_nb: int = 10
     input_size: int = 256
     net_stride: int = 32
+    arch: str = "resnet"                        # resnet | mbnetv2 | mbnetv3
+    block: str = "bottleneck"                   # bottleneck | basic (resnet)
     layers: Tuple[int, ...] = (3, 4, 23, 3)     # resnet101
     width: int = 64
 
@@ -44,6 +46,27 @@ class PIPNetConfig:
     def tiny() -> "PIPNetConfig":
         return PIPNetConfig(num_lms=12, num_nb=3, input_size=64,
                             layers=(1, 1, 1, 1), width=8)
+
+    # the reference's five Pip_* wrappers (lib/networks.py)
+    @staticmethod
+    def resnet101(**kw) -> "PIPNetConfig":
+        return PIPNetConfig(layers=(3, 4, 23, 3), **kw)
+
+    @staticmethod
+    def resnet50(**kw) -> "PIPNetConfig":
+        return PIPNetConfig(layers=(3, 4, 6, 3), **kw)
+
+    @staticmethod
+    def resnet18(**kw) -> "PIPNetConfig":
+        return PIPNetConfig(block="basic", layers=(2, 2, 2, 2), **kw)
+
+    @staticmethod
+    def mbnetv2(**kw) -> "PIPNetConfig":
+        return PIPNetConfig(arch="mbnetv2", **kw)
+
+    @staticmethod
+    def mbnetv3(**kw) -> "PIPNetConfig":
+        return PIPNetConfig(arch="mbnetv3", **kw)
 
 
 class Bottleneck(nn.Module):
@@ -71,6 +94,29 @@ class Bottleneck(nn.Module):
         return nn.relu(h + sc).astype(self.dtype)
 
 
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock (resnet18/34): stride on conv1, expansion 1."""
+    planes: int
+    stride: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=((k // 2,) * 2,) * 2,
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            name=name)
+        h = nn.relu(FrozenBN(name="bn1")(
+            conv(self.planes, 3, self.stride, "conv1")(x))).astype(self.dtype)
+        h = FrozenBN(name="bn2")(conv(self.planes, 3, 1, "conv2")(h))
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            sc = FrozenBN(name="down_bn")(
+                conv(self.planes, 1, self.stride, "down_conv")(x))
+        else:
+            sc = x
+        return nn.relu(h + sc).astype(self.dtype)
+
+
 class ResNetBackbone(nn.Module):
     cfg: PIPNetConfig
     dtype: jnp.dtype
@@ -84,13 +130,153 @@ class ResNetBackbone(nn.Module):
                     name="conv1")(x)
         h = nn.relu(FrozenBN(name="bn1")(h)).astype(self.dtype)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        block = Bottleneck if cfg.block == "bottleneck" else BasicBlock
         for li, n_blocks in enumerate(cfg.layers):
             planes = cfg.width * (2 ** li)
             for bi in range(n_blocks):
                 stride = 2 if (bi == 0 and li > 0) else 1
-                h = Bottleneck(planes, stride, self.dtype,
-                               name=f"layer{li + 1}_block{bi}")(h)
+                h = block(planes, stride, self.dtype,
+                          name=f"layer{li + 1}_block{bi}")(h)
         return h
+
+
+def _hsigmoid(x):
+    # reference mobilenetv3.py h_sigmoid: relu6(x + 3) / 6
+    return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+def _make_divisible(v, divisor=8, min_value=None):
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class _ConvBN(nn.Module):
+    """conv + frozen BN + activation ('relu6' | 'hswish' | 'relu' | None)."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    act: str | None = "relu6"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        h = nn.Conv(self.features, (k, k), strides=(self.stride,) * 2,
+                    padding=(((k - 1) // 2,) * 2,) * 2, use_bias=False,
+                    feature_group_count=self.groups, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv")(x)
+        h = FrozenBN(name="bn")(h)
+        if self.act == "relu6":
+            h = jnp.clip(h, 0.0, 6.0)
+        elif self.act == "relu":
+            h = nn.relu(h)
+        elif self.act == "hswish":
+            h = h * _hsigmoid(h)
+        return h.astype(self.dtype)
+
+
+class SELayer(nn.Module):
+    """reference mobilenetv3.py SELayer: pool -> fc -> relu -> fc -> hsigmoid."""
+    channel: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = x.astype(jnp.float32).mean(axis=(1, 2))           # (B, C)
+        y = nn.relu(nn.Dense(_make_divisible(self.channel // 4),
+                             param_dtype=jnp.float32, name="fc1")(y))
+        y = _hsigmoid(nn.Dense(self.channel, param_dtype=jnp.float32,
+                               name="fc2")(y))
+        return (x * y[:, None, None, :]).astype(self.dtype)
+
+
+# torchvision MobileNetV2 inverted-residual settings (t, c, n, s)
+MBV2_SETTINGS = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+                 (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+# reference mobilenetv3.py mobilenetv3_large cfgs (k, t, c, SE, HS, s)
+MBV3_LARGE_CFGS = (
+    (3, 1, 16, 0, 0, 1), (3, 4, 24, 0, 0, 2), (3, 3, 24, 0, 0, 1),
+    (5, 3, 40, 1, 0, 2), (5, 3, 40, 1, 0, 1), (5, 3, 40, 1, 0, 1),
+    (3, 6, 80, 0, 1, 2), (3, 2.5, 80, 0, 1, 1), (3, 2.3, 80, 0, 1, 1),
+    (3, 2.3, 80, 0, 1, 1), (3, 6, 112, 1, 1, 1), (3, 6, 112, 1, 1, 1),
+    (5, 6, 160, 1, 1, 2), (5, 6, 160, 1, 1, 1), (5, 6, 160, 1, 1, 1))
+
+
+class MobileNetV2Backbone(nn.Module):
+    """torchvision mobilenet_v2 ``features`` (Pip_mbnetv2 wraps exactly this,
+    networks.py:320-363): stem conv32/s2, 17 inverted residuals, 1x1 to 1280,
+    ReLU6 throughout, residual add when stride==1 and in==out."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = _ConvBN(32, 3, 2, name="stem", dtype=self.dtype)(x)
+        c_in, bi = 32, 1
+        for t, c, n, s in MBV2_SETTINGS:
+            for i in range(n):
+                stride = s if i == 0 else 1
+                hidden = c_in * t
+                r = h
+                name = f"block{bi}"
+                if t != 1:
+                    h = _ConvBN(hidden, 1, 1, name=f"{name}_expand",
+                                dtype=self.dtype)(h)
+                h = _ConvBN(hidden, 3, stride, groups=hidden,
+                            name=f"{name}_dw", dtype=self.dtype)(h)
+                h = _ConvBN(c, 1, 1, act=None, name=f"{name}_pw",
+                            dtype=self.dtype)(h)
+                if stride == 1 and c_in == c:
+                    h = (h + r).astype(self.dtype)
+                c_in, bi = c, bi + 1
+        return _ConvBN(1280, 1, 1, name="last", dtype=self.dtype)(h)
+
+
+class MobileNetV3Backbone(nn.Module):
+    """The reference's own mobilenetv3_large ``features`` + final 1x1 ``conv``
+    (mobilenetv3.py:131-208; Pip_mbnetv3 uses both, networks.py:365-410)."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = _ConvBN(16, 3, 2, act="hswish", name="stem", dtype=self.dtype)(x)
+        c_in = 16
+        for bi, (k, t, c, use_se, use_hs, s) in enumerate(MBV3_LARGE_CFGS,
+                                                          start=1):
+            c_out = _make_divisible(c)
+            hidden = _make_divisible(c_in * t)
+            act = "hswish" if use_hs else "relu"
+            r, name = h, f"block{bi}"
+            if c_in != hidden:
+                h = _ConvBN(hidden, 1, 1, act=act, name=f"{name}_expand",
+                            dtype=self.dtype)(h)
+                # pw -> dw -> SE -> act -> pw-linear (mobilenetv3.py:108-122:
+                # the activation comes AFTER the SE block in the expand path)
+                h = _ConvBN(hidden, k, s, groups=hidden, act=None,
+                            name=f"{name}_dw", dtype=self.dtype)(h)
+                if use_se:
+                    h = SELayer(hidden, name=f"{name}_se",
+                                dtype=self.dtype)(h)
+                h = h * _hsigmoid(h) if use_hs else nn.relu(h)
+            else:
+                # dw -> act -> SE -> pw-linear (mobilenetv3.py:96-106)
+                h = _ConvBN(hidden, k, s, groups=hidden, act=act,
+                            name=f"{name}_dw", dtype=self.dtype)(h)
+                if use_se:
+                    h = SELayer(hidden, name=f"{name}_se",
+                                dtype=self.dtype)(h)
+            h = _ConvBN(c_out, 1, 1, act=None, name=f"{name}_pw",
+                        dtype=self.dtype)(h.astype(self.dtype))
+            if s == 1 and c_in == c_out:
+                h = (h + r).astype(self.dtype)
+            c_in = c_out
+        return _ConvBN(_make_divisible(c_in * 6), 1, 1, act="hswish",
+                       name="last", dtype=self.dtype)(h)
 
 
 class PIPNet(nn.Module):
@@ -100,7 +286,41 @@ class PIPNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        h = ResNetBackbone(cfg, self.dtype, name="backbone")(x)
+        if cfg.arch == "resnet":
+            h = ResNetBackbone(cfg, self.dtype, name="backbone")(x)
+        elif cfg.arch == "mbnetv2":
+            h = MobileNetV2Backbone(self.dtype, name="backbone")(x)
+        elif cfg.arch == "mbnetv3":
+            h = MobileNetV3Backbone(self.dtype, name="backbone")(x)
+        else:
+            raise ValueError(f"unknown PIPNet arch: {cfg.arch!r}")
+
+        # net_stride != 32 extras — resnet wrappers only (networks.py:27-57,
+        # 229-267; the mbnet wrappers ignore net_stride)
+        if cfg.arch == "resnet" and cfg.net_stride != 32:
+            conv_s2 = lambda name: nn.Conv(
+                512, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, param_dtype=jnp.float32, name=name)
+            if cfg.net_stride == 128:
+                h = nn.relu(FrozenBN(name="bn5")(conv_s2("layer5")(h))
+                            ).astype(self.dtype)
+                h = nn.relu(FrozenBN(name="bn6")(conv_s2("layer6")(h))
+                            ).astype(self.dtype)
+            elif cfg.net_stride == 64:
+                h = nn.relu(FrozenBN(name="bn5")(conv_s2("layer5")(h))
+                            ).astype(self.dtype)
+            elif cfg.net_stride == 16 and cfg.block == "basic":
+                # Pip_resnet18's ConvTranspose2d(512, 512, 4, 2, 1,
+                # bias=False) upsample (networks.py:257-264)
+                h = nn.ConvTranspose(
+                    512, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
+                    use_bias=False, transpose_kernel=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="deconv1")(h)
+                h = nn.relu(FrozenBN(name="bn_deconv1")(h)).astype(self.dtype)
+            else:
+                raise ValueError(
+                    f"net_stride {cfg.net_stride} unsupported for "
+                    f"block={cfg.block!r} (reference networks.py:265-267)")
         head = lambda f, name: nn.Conv(f, (1, 1), dtype=self.dtype,
                                        param_dtype=jnp.float32, name=name)(h)
         # (B, g, g, C) heads, returned channel-last

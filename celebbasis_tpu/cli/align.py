@@ -93,6 +93,33 @@ def _align_one(path: str, out_folder: str, detector, landmarker,
     return True
 
 
+def _annotate_one(path: str, out_folder: str, detector, landmarker) -> bool:
+    """lib/demo.py demo_image flow: draw every detection's (1.2x-enlarged)
+    box and its 98 merged landmarks on the image, save ``<name>_out.jpg``."""
+    from PIL import ImageDraw
+    img = Image.open(path).convert("RGB")
+    rgb = np.asarray(img)
+    dets = detector.detect(rgb[:, :, ::-1])
+    draw = ImageDraw.Draw(img)
+    H, W = rgb.shape[:2]
+    for det in dets:
+        s = landmarker.det_box_scale
+        xmin = max(det.xmin - int(det.width * (s - 1) / 2), 0)
+        ymin = min(max(det.ymin + int(det.height * (s - 1) / 2), 0), H - 1)
+        xmax = min(det.xmin + det.width - 1 + int(det.width * (s - 1) / 2),
+                   W - 1)
+        ymax = min(det.ymin + det.height - 1 + int(det.height * (s - 1) / 2),
+                   H - 1)
+        draw.rectangle([xmin, ymin, xmax, ymax], outline=(255, 0, 0), width=2)
+        for x, y in landmarker.landmarks_for_box(rgb, det):
+            draw.ellipse([x - 2, y - 2, x + 2, y + 2], fill=(255, 0, 0))
+    out = os.path.join(out_folder,
+                       os.path.splitext(os.path.basename(path))[0]
+                       + "_out.jpg")
+    img.save(out)
+    return bool(dets)
+
+
 def align_folder(in_folder: str, out_folder: str, detector, landmarker,
                  crop_size: int = 512, mode: str = "ffhq",
                  workers: int = 4):
@@ -129,10 +156,22 @@ def main(argv=None):
     p.add_argument("--meanface", type=str, default=None)
     p.add_argument("--workers", type=int, default=4,
                    help="pipeline threads (1 = serial reference behavior)")
+    p.add_argument("--annotate", action="store_true",
+                   help="demo mode (lib/demo.py): draw boxes + landmarks "
+                        "instead of cropping; no pickle is written")
     args = p.parse_args(argv)
 
     detector = _init_detector(args.detector_ckpt)
     landmarker = _init_landmarker(args.pipnet_ckpt, args.meanface)
+    if args.annotate:
+        os.makedirs(args.out_folder, exist_ok=True)
+        images = sorted(
+            p_ for ext in ("*.jpg", "*.jpeg", "*.png")
+            for p_ in glob.glob(os.path.join(args.in_folder, ext)))
+        n = sum(_annotate_one(p_, args.out_folder, detector, landmarker)
+                for p_ in images)
+        print(f"[align] annotated {n}/{len(images)} images with faces")
+        return
     n = align_folder(args.in_folder, args.out_folder, detector, landmarker,
                      args.crop_size, args.mode, workers=args.workers)
     pkl = os.path.join(args.out_folder, "ffhq.pickle")

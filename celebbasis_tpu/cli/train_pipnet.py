@@ -67,6 +67,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="adds Adam weight_decay 5e-4 (train.py:176-179)")
     p.add_argument("--tiny", action="store_true",
                    help="toy backbone for smoke runs/tests")
+    p.add_argument("--backbone", type=str, default="resnet101",
+                   choices=["resnet101", "resnet50", "resnet18", "mbnetv2",
+                            "mbnetv3"],
+                   help="the reference's five Pip_* wrappers "
+                        "(lib/networks.py)")
     return p
 
 
@@ -86,9 +91,10 @@ def main(argv=None):
                                net_stride=args.net_stride,
                                layers=(1, 1, 1, 1), width=8)
     else:
-        net_cfg = PIPNetConfig(num_lms=L, num_nb=args.num_nb,
-                               input_size=args.input_size,
-                               net_stride=args.net_stride)
+        preset = getattr(PIPNetConfig, args.backbone)
+        net_cfg = preset(num_lms=L, num_nb=args.num_nb,
+                         input_size=args.input_size,
+                         net_stride=args.net_stride)
     tcfg = pt.PIPTrainConfig(
         num_lms=L, num_nb=args.num_nb, input_size=args.input_size,
         net_stride=args.net_stride, batch_size=args.batch_size,

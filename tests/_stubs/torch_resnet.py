@@ -38,11 +38,35 @@ class Bottleneck(nn.Module):
         return self.relu(out + identity)
 
 
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock (resnet18/34): stride on conv1, expansion 1."""
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
 class ResNet(nn.Module):
     """Backbone-only torchvision ResNet (no fc/avgpool — PIPNet ignores them)."""
 
-    def __init__(self, layers, width=64):
+    def __init__(self, layers, width=64, block=Bottleneck):
         super().__init__()
+        self.block = block
         self.inplanes = width
         self.conv1 = nn.Conv2d(3, width, 7, stride=2, padding=3, bias=False)
         self.bn1 = nn.BatchNorm2d(width)
@@ -54,16 +78,17 @@ class ResNet(nn.Module):
         self.layer4 = self._make_layer(width * 8, layers[3], stride=2)
 
     def _make_layer(self, planes, blocks, stride):
+        block = self.block
         downsample = None
-        if stride != 1 or self.inplanes != planes * Bottleneck.expansion:
+        if stride != 1 or self.inplanes != planes * block.expansion:
             downsample = nn.Sequential(
-                nn.Conv2d(self.inplanes, planes * Bottleneck.expansion, 1,
+                nn.Conv2d(self.inplanes, planes * block.expansion, 1,
                           stride=stride, bias=False),
-                nn.BatchNorm2d(planes * Bottleneck.expansion))
-        blocks_ = [Bottleneck(self.inplanes, planes, stride, downsample)]
-        self.inplanes = planes * Bottleneck.expansion
+                nn.BatchNorm2d(planes * block.expansion))
+        blocks_ = [block(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * block.expansion
         for _ in range(1, blocks):
-            blocks_.append(Bottleneck(self.inplanes, planes))
+            blocks_.append(block(self.inplanes, planes))
         return nn.Sequential(*blocks_)
 
     def forward(self, x):
@@ -71,5 +96,6 @@ class ResNet(nn.Module):
         return self.layer4(self.layer3(self.layer2(self.layer1(x))))
 
 
-def resnet(layers=(3, 4, 6, 3), width=64):
-    return ResNet(list(layers), width)
+def resnet(layers=(3, 4, 6, 3), width=64, block="bottleneck"):
+    blk = Bottleneck if block == "bottleneck" else BasicBlock
+    return ResNet(list(layers), width, blk)

@@ -1,8 +1,13 @@
+import torch_mbnetv2
 import torch_resnet
 
 
 def resnet18(*a, **k):
-    raise NotImplementedError("stub: Bottleneck nets only")
+    return torch_resnet.resnet(layers=(2, 2, 2, 2), block="basic")
+
+
+def mobilenet_v2(*a, **k):
+    return torch_mbnetv2.mobilenet_v2()
 
 
 def resnet50(*a, **k):

@@ -100,3 +100,78 @@ def test_pipnet_resnet_parity():
     for got, want in zip(outs, ref_outs):
         np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
                                    want.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def _rand_bn_stats(mod):
+    for m in mod.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.8, 1.2)
+
+
+def _pipnet_golden(ref, cfg, size=64, atol=5e-4):
+    """Bridge ref's state_dict into our PIPNet and compare all five heads."""
+    import jax
+    from celebbasis_tpu.align.pipnet import PIPNet
+    from celebbasis_tpu.utils.bridge_align import convert_pipnet
+    ref = ref.eval()
+    _rand_bn_stats(ref)
+    x = torch.randn(1, 3, size, size)
+    with torch.no_grad():
+        ref_outs = ref(x)
+    params = convert_pipnet(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
+    outs = jax.jit(PIPNet(cfg).apply)(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    for got, want in zip(outs, ref_outs):
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   want.numpy(), atol=atol, rtol=1e-3)
+
+
+@pytest.mark.parametrize("net_stride", [32, 16, 64])
+def test_pipnet_resnet18_parity(net_stride):
+    """Pip_resnet18 (BasicBlock + net_stride conv/deconv extras) golden."""
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "_stubs"))
+    import torch_resnet
+    from lib.networks import Pip_resnet18
+    from celebbasis_tpu.align.pipnet import PIPNetConfig
+
+    torch.manual_seed(2 + net_stride)
+    resnet = torch_resnet.resnet(layers=(2, 2, 2, 2), block="basic")
+    ref = Pip_resnet18(resnet, num_nb=10, num_lms=98, input_size=64,
+                       net_stride=net_stride)
+    # the reference initializes layer5/6 and deconv1 weights to ~0
+    # (std=0.001, networks.py:235-264) — re-randomize so the parity test
+    # actually exercises the stride-extra path
+    for name, p in ref.named_parameters():
+        if any(s in name for s in ("layer5", "layer6", "deconv1")):
+            p.data.normal_(0, 0.05)
+    cfg = PIPNetConfig.resnet18(input_size=64, net_stride=net_stride)
+    _pipnet_golden(ref, cfg)
+
+
+def test_pipnet_mbnetv2_parity():
+    """Pip_mbnetv2 over the torchvision-layout MobileNetV2 stub, golden."""
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "_stubs"))
+    import torch_mbnetv2
+    from lib.networks import Pip_mbnetv2
+    from celebbasis_tpu.align.pipnet import PIPNetConfig
+
+    torch.manual_seed(3)
+    ref = Pip_mbnetv2(torch_mbnetv2.mobilenet_v2(), num_nb=10, num_lms=98,
+                      input_size=64, net_stride=32)
+    _pipnet_golden(ref, PIPNetConfig.mbnetv2(input_size=64))
+
+
+def test_pipnet_mbnetv3_parity():
+    """Pip_mbnetv3 over the reference's own mobilenetv3_large, golden."""
+    from lib.mobilenetv3 import mobilenetv3_large
+    from lib.networks import Pip_mbnetv3
+    from celebbasis_tpu.align.pipnet import PIPNetConfig
+
+    torch.manual_seed(4)
+    ref = Pip_mbnetv3(mobilenetv3_large(), num_nb=10, num_lms=98,
+                      input_size=64, net_stride=32)
+    _pipnet_golden(ref, PIPNetConfig.mbnetv3(input_size=64), atol=1e-3)
