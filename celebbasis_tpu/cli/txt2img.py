@@ -103,6 +103,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=None,
                    help="shard the sample batch over N devices (data-parallel"
                         " sampling; n_samples must divide by N)")
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel sampling over N devices (Megatron "
+                        "attention/MLP sharding of the frozen UNet/CLIP; "
+                        "cuts single-image latency instead of batching — "
+                        "composes with --mesh as a (data, model) mesh)")
     return p
 
 
@@ -171,12 +176,15 @@ def main(argv=None):
     n_active = len(args.faces) if args.faces else len(args.ids)
     rng = jax.random.key(args.seed)
     mesh = None
-    if args.mesh:
+    if args.mesh or args.tp:
         from celebbasis_tpu.parallel import mesh as pmesh
-        assert B % args.mesh == 0, "--n_samples must divide --mesh"
-        mesh = pmesh.make_mesh(n_data=args.mesh)
-        asm.params = pmesh.shard_params(asm.params, mesh)
-        print(f"[txt2img] data-parallel sampling over {args.mesh} devices")
+        n_data, n_model = args.mesh or 1, args.tp or 1
+        assert B % n_data == 0, "--n_samples must divide --mesh"
+        mesh = pmesh.make_mesh(n_data=n_data, n_model=n_model)
+        asm.params = pmesh.shard_params(asm.params, mesh,
+                                        use_tp=(n_model > 1))
+        print(f"[txt2img] sampling over a {n_data}x{n_model} "
+              f"data x model mesh")
     idx = 0
     for pi, prompt in enumerate(prompts):
         tokens = jnp.asarray(asm.tokenizer([prompt] * B))
