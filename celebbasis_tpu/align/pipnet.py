@@ -279,6 +279,51 @@ class MobileNetV3Backbone(nn.Module):
                        name="last", dtype=self.dtype)(h)
 
 
+def apply_backbone(cfg: PIPNetConfig, dtype, x):
+    """Backbone + net_stride extras, shared by PIPNet and PIPNetGSSL.
+
+    Must be called from inside a parent module's ``@nn.compact`` ``__call__``
+    (submodule names land on the caller's scope, so the param tree — and the
+    torch bridge key map — is identical for both heads).
+    """
+    if cfg.arch == "resnet":
+        h = ResNetBackbone(cfg, dtype, name="backbone")(x)
+    elif cfg.arch == "mbnetv2":
+        h = MobileNetV2Backbone(dtype, name="backbone")(x)
+    elif cfg.arch == "mbnetv3":
+        h = MobileNetV3Backbone(dtype, name="backbone")(x)
+    else:
+        raise ValueError(f"unknown PIPNet arch: {cfg.arch!r}")
+
+    # net_stride != 32 extras — resnet wrappers only (networks.py:27-57,
+    # 229-267; the mbnet wrappers ignore net_stride)
+    if cfg.arch == "resnet" and cfg.net_stride != 32:
+        conv_s2 = lambda name: nn.Conv(
+            512, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            dtype=dtype, param_dtype=jnp.float32, name=name)
+        if cfg.net_stride == 128:
+            h = nn.relu(FrozenBN(name="bn5")(conv_s2("layer5")(h))
+                        ).astype(dtype)
+            h = nn.relu(FrozenBN(name="bn6")(conv_s2("layer6")(h))
+                        ).astype(dtype)
+        elif cfg.net_stride == 64:
+            h = nn.relu(FrozenBN(name="bn5")(conv_s2("layer5")(h))
+                        ).astype(dtype)
+        elif cfg.net_stride == 16 and cfg.block == "basic":
+            # Pip_resnet18's ConvTranspose2d(512, 512, 4, 2, 1,
+            # bias=False) upsample (networks.py:257-264)
+            h = nn.ConvTranspose(
+                512, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
+                use_bias=False, transpose_kernel=True, dtype=dtype,
+                param_dtype=jnp.float32, name="deconv1")(h)
+            h = nn.relu(FrozenBN(name="bn_deconv1")(h)).astype(dtype)
+        else:
+            raise ValueError(
+                f"net_stride {cfg.net_stride} unsupported for "
+                f"block={cfg.block!r} (reference networks.py:265-267)")
+    return h
+
+
 class PIPNet(nn.Module):
     cfg: PIPNetConfig
     dtype: jnp.dtype = jnp.float32
@@ -286,41 +331,7 @@ class PIPNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        if cfg.arch == "resnet":
-            h = ResNetBackbone(cfg, self.dtype, name="backbone")(x)
-        elif cfg.arch == "mbnetv2":
-            h = MobileNetV2Backbone(self.dtype, name="backbone")(x)
-        elif cfg.arch == "mbnetv3":
-            h = MobileNetV3Backbone(self.dtype, name="backbone")(x)
-        else:
-            raise ValueError(f"unknown PIPNet arch: {cfg.arch!r}")
-
-        # net_stride != 32 extras — resnet wrappers only (networks.py:27-57,
-        # 229-267; the mbnet wrappers ignore net_stride)
-        if cfg.arch == "resnet" and cfg.net_stride != 32:
-            conv_s2 = lambda name: nn.Conv(
-                512, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                dtype=self.dtype, param_dtype=jnp.float32, name=name)
-            if cfg.net_stride == 128:
-                h = nn.relu(FrozenBN(name="bn5")(conv_s2("layer5")(h))
-                            ).astype(self.dtype)
-                h = nn.relu(FrozenBN(name="bn6")(conv_s2("layer6")(h))
-                            ).astype(self.dtype)
-            elif cfg.net_stride == 64:
-                h = nn.relu(FrozenBN(name="bn5")(conv_s2("layer5")(h))
-                            ).astype(self.dtype)
-            elif cfg.net_stride == 16 and cfg.block == "basic":
-                # Pip_resnet18's ConvTranspose2d(512, 512, 4, 2, 1,
-                # bias=False) upsample (networks.py:257-264)
-                h = nn.ConvTranspose(
-                    512, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
-                    use_bias=False, transpose_kernel=True, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="deconv1")(h)
-                h = nn.relu(FrozenBN(name="bn_deconv1")(h)).astype(self.dtype)
-            else:
-                raise ValueError(
-                    f"net_stride {cfg.net_stride} unsupported for "
-                    f"block={cfg.block!r} (reference networks.py:265-267)")
+        h = apply_backbone(cfg, self.dtype, x)
         head = lambda f, name: nn.Conv(f, (1, 1), dtype=self.dtype,
                                        param_dtype=jnp.float32, name=name)(h)
         # (B, g, g, C) heads, returned channel-last
