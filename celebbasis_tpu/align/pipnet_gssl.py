@@ -44,6 +44,10 @@ class PIPNetGSSL(nn.Module):
     Param names match :class:`PIPNet` exactly, so
     ``utils.bridge_align.convert_pipnet`` round-trips GSSL checkpoints too
     (the torch module reuses ``cls_layer`` at all three scales, as here).
+
+    Stride-32 only: the reference GSSL net has no extra-stride layers at all
+    (networks_gssl.py:13-77 — no layer5/bn5, no deconv), so any other
+    ``net_stride`` would add params a real GSSL checkpoint can't provide.
     """
     cfg: PIPNetConfig
     dtype: jnp.dtype = jnp.float32
@@ -51,6 +55,11 @@ class PIPNetGSSL(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
+        if cfg.net_stride != 32:
+            raise ValueError(
+                "PIPNetGSSL is stride-32 only (the reference GSSL stack, "
+                f"networks_gssl.py:13-77, has no stride layers); got "
+                f"net_stride={cfg.net_stride}")
         h = apply_backbone(cfg, self.dtype, x)
         conv = lambda f, name: nn.Conv(f, (1, 1), dtype=self.dtype,
                                        param_dtype=jnp.float32, name=name)
@@ -200,12 +209,16 @@ def gssl_self_train(net_cfg: PIPNetConfig, train_cfg: PIPTrainConfig,
     """The GSSL curriculum (train_gssl.py:98-268), array-level API.
 
     ``labeled`` = (images (N,s,s,3) normalized NHWC, landmarks (N,L,2));
-    ``unlabeled_images`` = (M,s,s,3).  Per round ``ti``: (1) pseudo-label
-    the unlabeled set with the *current* params (neighbor-merged decode),
-    tagged with ``task_list[ti]``; (2) re-initialize a fresh net + optimizer
-    (the reference rebuilds both each round, train_gssl.py:241-256);
-    (3) train ``num_epochs`` on labeled 'std' rows + the pseudo rows.
-    Returns {'params', 'history': per-round epoch-loss lists}.
+    ``unlabeled_images`` = (M,s,s,3).  First, a fresh net trains
+    ``num_epochs`` on the labeled 'std' rows alone (the reference's pre-loop
+    ``train_model`` call, train_gssl.py:147-162), so the first pseudo-label
+    estimate comes from a trained net, not random init.  Then per round
+    ``ti``: (1) pseudo-label the unlabeled set with the *current* params
+    (neighbor-merged decode), tagged with ``task_list[ti]``; (2)
+    re-initialize a fresh net + optimizer (the reference rebuilds both each
+    round, train_gssl.py:241-256); (3) train ``num_epochs`` on labeled
+    'std' rows + the pseudo rows.  Returns {'params', 'init_history':
+    supervised-warmup epoch losses, 'history': per-round epoch-loss lists}.
     """
     from celebbasis_tpu.align.pipnet import meanface_indices
 
@@ -218,6 +231,10 @@ def gssl_self_train(net_cfg: PIPNetConfig, train_cfg: PIPTrainConfig,
     imgs_l, lms_l = labeled
     n_l, n_u = len(imgs_l), len(unlabeled_images)
     bs = train_cfg.batch_size
+    if n_l < bs:
+        raise ValueError(
+            f"need >= batch_size={bs} labeled rows (got {n_l}): the "
+            "drop-last loader (train_gssl.py:267) would yield zero batches")
 
     def fresh_params(i):
         rng = (init_rngs[i] if init_rngs is not None
@@ -225,30 +242,14 @@ def gssl_self_train(net_cfg: PIPNetConfig, train_cfg: PIPTrainConfig,
         sample = jnp.zeros((1,) + imgs_l.shape[1:], jnp.float32)
         return jax.jit(model.init)(rng, sample)
 
-    params = fresh_params(0)
-    decode = jax.jit(lambda p, x: gssl_decode(model.apply(p, x), net_cfg,
-                                              ri1, ri2))
-    history = []
-    for ti, task_type in enumerate(task_list):
-        # (1) estimate pseudo-labels with the current net
-        pseudo = np.concatenate(
-            [np.asarray(decode(params, jnp.asarray(
-                unlabeled_images[i:i + bs])))
-             for i in range(0, n_u, bs)]) if n_u else np.zeros((0,) + lms_l.shape[1:], np.float32)
-        # (2) fresh net + optimizer every round
-        params = fresh_params(ti)
-        steps_per_epoch = max((n_l + n_u) // bs, 1)
-        optimizer = make_optimizer(train_cfg, steps_per_epoch)
+    def train_round(rnd, images, lms, task):
+        """Fresh net + optimizer, num_epochs over (images, lms, task)."""
+        params = fresh_params(rnd)
+        optimizer = make_optimizer(train_cfg, max(len(images) // bs, 1))
         opt_state = optimizer.init(params)
         step = make_gssl_train_step(model, optimizer, nb_idx, train_cfg)
-        # (3) train on labeled 'std' + pseudo-labeled rows
-        images = np.concatenate([imgs_l, unlabeled_images]) if n_u else imgs_l
-        lms = np.concatenate([lms_l, pseudo]) if n_u else lms_l
-        task = np.concatenate([np.full((n_l,), TASK_STD, np.int32),
-                               np.full((n_u,), TASK_IDS[task_type],
-                                       np.int32)])
-        round_hist = []
-        for epoch in range(train_cfg.num_epochs):
+        hist = []
+        for _epoch in range(train_cfg.num_epochs):
             total, n = 0.0, 0
             for idx in _iter_batches(len(images), bs, host):
                 params, opt_state, loss, _ = step(
@@ -256,9 +257,47 @@ def gssl_self_train(net_cfg: PIPNetConfig, train_cfg: PIPTrainConfig,
                     jnp.asarray(lms[idx]), jnp.asarray(task[idx]))
                 total += float(loss)
                 n += 1
-            round_hist.append(total / max(n, 1))
+            hist.append(total / max(n, 1))
+        return params, hist
+
+    decode = jax.jit(lambda p, x: gssl_decode(model.apply(p, x), net_cfg,
+                                              ri1, ri2))
+
+    def pseudo_label(params):
+        """Decode the unlabeled set in fixed-shape batches (ragged tail is
+        padded to batch_size so every round reuses one compiled program)."""
+        if not n_u:
+            return np.zeros((0,) + lms_l.shape[1:], np.float32)
+        out = []
+        for i in range(0, n_u, bs):
+            chunk = unlabeled_images[i:i + bs]
+            k = len(chunk)
+            if k < bs:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], bs - k, axis=0)])
+            out.append(np.asarray(decode(params, jnp.asarray(chunk)))[:k])
+        return np.concatenate(out)
+
+    # supervised warmup on the labeled set (train_gssl.py:147-162)
+    params, init_hist = train_round(
+        0, imgs_l, lms_l, np.full((n_l,), TASK_STD, np.int32))
+    if verbose:
+        print(f"[gssl] init (std, labeled only): "
+              f"loss {init_hist[0]:.4f} -> {init_hist[-1]:.4f}")
+
+    history = []
+    for ti, task_type in enumerate(task_list):
+        # (1) estimate pseudo-labels with the current net
+        pseudo = pseudo_label(params)
+        # (2)+(3) fresh net + optimizer; labeled 'std' + pseudo rows
+        images = np.concatenate([imgs_l, unlabeled_images]) if n_u else imgs_l
+        lms = np.concatenate([lms_l, pseudo]) if n_u else lms_l
+        task = np.concatenate([np.full((n_l,), TASK_STD, np.int32),
+                               np.full((n_u,), TASK_IDS[task_type],
+                                       np.int32)])
+        params, round_hist = train_round(ti + 1, images, lms, task)
         history.append(round_hist)
         if verbose:
             print(f"[gssl] round {ti} ({task_type}): "
                   f"loss {round_hist[0]:.4f} -> {round_hist[-1]:.4f}")
-    return {"params": params, "history": history}
+    return {"params": params, "history": history, "init_history": init_hist}

@@ -179,32 +179,40 @@ def main(argv=None):
     if args.mesh or args.tp:
         from celebbasis_tpu.parallel import mesh as pmesh
         n_data, n_model = args.mesh or 1, args.tp or 1
-        assert B % n_data == 0, "--n_samples must divide --mesh"
+        assert B % n_data == 0, "--mesh must divide --n_samples"
         mesh = pmesh.make_mesh(n_data=n_data, n_model=n_model)
         asm.params = pmesh.shard_params(asm.params, mesh,
                                         use_tp=(n_model > 1))
         print(f"[txt2img] sampling over a {n_data}x{n_model} "
               f"data x model mesh")
+
+    import contextlib
+    # same partitioning context the TP numerics pin runs under
+    # (tests/test_tp_sampling.py) — GSPMD sees the mesh either way via
+    # NamedSharding, but keeping the shipped path identical to the tested
+    # one removes any doubt.
+    mesh_ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
     idx = 0
-    for pi, prompt in enumerate(prompts):
-        tokens = jnp.asarray(asm.tokenizer([prompt] * B))
-        uncond = jnp.asarray(asm.tokenizer([""] * B))
-        ids = jnp.asarray(np.tile(ids_row, (B, 1)).astype(np.int32))
-        num_ids = jnp.full((B,), n_active, jnp.int32)
-        if mesh is not None:
-            from celebbasis_tpu.parallel import mesh as pmesh
-            tokens, uncond, ids, num_ids = (
-                pmesh.shard_batch((tokens, uncond, ids, num_ids), mesh))
-        rng, sub = jax.random.split(rng)
-        imgs = fn(asm.params, asm.manager_state, asm.basis, tokens, uncond,
-                  ids, num_ids, sub)
-        outdir = os.path.join(args.outdir, f"{pi:03d}_" +
-                              "".join(c if c.isalnum() else "-"
-                                      for c in prompt[:60]))
-        paths = save_images(np.asarray(imgs), outdir, idx,
-                            grid=not args.no_grid)
-        idx += B
-        print(f"[txt2img] {prompt!r} -> {len(paths)} images in {outdir}")
+    with mesh_ctx:
+        for pi, prompt in enumerate(prompts):
+            tokens = jnp.asarray(asm.tokenizer([prompt] * B))
+            uncond = jnp.asarray(asm.tokenizer([""] * B))
+            ids = jnp.asarray(np.tile(ids_row, (B, 1)).astype(np.int32))
+            num_ids = jnp.full((B,), n_active, jnp.int32)
+            if mesh is not None:
+                from celebbasis_tpu.parallel import mesh as pmesh
+                tokens, uncond, ids, num_ids = (
+                    pmesh.shard_batch((tokens, uncond, ids, num_ids), mesh))
+            rng, sub = jax.random.split(rng)
+            imgs = fn(asm.params, asm.manager_state, asm.basis, tokens,
+                      uncond, ids, num_ids, sub)
+            outdir = os.path.join(args.outdir, f"{pi:03d}_" +
+                                  "".join(c if c.isalnum() else "-"
+                                          for c in prompt[:60]))
+            paths = save_images(np.asarray(imgs), outdir, idx,
+                                grid=not args.no_grid)
+            idx += B
+            print(f"[txt2img] {prompt!r} -> {len(paths)} images in {outdir}")
 
 
 if __name__ == "__main__":

@@ -126,8 +126,11 @@ def test_gssl_loss_parity():
 
 
 def test_gssl_self_train_smoke():
-    """Two curriculum rounds on synthetic data: pseudo-labels are estimated,
-    the net is re-initialized each round, and the final round learns."""
+    """Supervised warmup (train_gssl.py:147-162) + two curriculum rounds on
+    synthetic data: the labeled-only warmup learns before any pseudo-labels
+    are estimated, the net is re-initialized each round, and the final
+    round learns.  Unlabeled count (2) is deliberately not a multiple of
+    batch_size (4) to exercise the padded fixed-shape decode."""
     cfg = _tiny_gssl_cfg()
     tcfg = pt.PIPTrainConfig(num_lms=5, num_nb=2, input_size=128,
                              net_stride=32, batch_size=4, init_lr=3e-3,
@@ -145,6 +148,9 @@ def test_gssl_self_train_smoke():
                              imgs[6:], task_list=("cls3", "std"),
                              seed=0, verbose=False)
     assert len(out["history"]) == 2
+    init = out["init_history"]
+    assert len(init) == tcfg.num_epochs
+    assert init[-1] < init[0]            # the supervised warmup learns
     final = out["history"][-1]
     assert final[-1] < final[0]          # the last round learns
     assert all(np.isfinite(v) for r in out["history"] for v in r)
