@@ -25,6 +25,7 @@ def _rand_dets(n, seed=0):
     return np.hstack([xy, xy + wh, scores]).astype(np.float32)
 
 
+@pytest.mark.smoke
 def test_native_nms_matches_numpy():
     dets = _rand_dets(300)
     ref = nms_mod.greedy_nms_numpy(dets, 0.3)
@@ -40,6 +41,7 @@ def test_soft_nms_runs():
     assert out.shape[1] == 5 and 1 <= len(out) <= 50
 
 
+@pytest.mark.smoke
 def test_jax_nms_matches_numpy():
     dets = _rand_dets(64, seed=3)
     ref = set(nms_mod.greedy_nms_numpy(dets, 0.3).tolist())
@@ -140,6 +142,7 @@ def test_umeyama_recovers_similarity():
     np.testing.assert_allclose(got, dst, atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_estimate_norm_maps_to_template():
     lmk = FFHQ + np.random.default_rng(1).normal(0, 0.5, (5, 2)).astype(
         np.float32)

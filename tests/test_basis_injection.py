@@ -12,6 +12,8 @@ from celebbasis_tpu.core.injection import (build_shift_maps, inject_batch,
                                            inject_reference_numpy)
 from celebbasis_tpu.text.tokenizer import CLIPTokenizer
 
+pytestmark = pytest.mark.smoke
+
 NAMES = ["Anne Hathaway", "Barack Obama", "Elon Musk", "Robert Downey",
          "Taylor Swift", "Anne Boleyn", "Emma Watson", "Brad Pitt"]
 

@@ -28,6 +28,7 @@ def fake_ffhq(tmp_path_factory):
     return str(pkl)
 
 
+@pytest.mark.smoke
 def test_dataset_basic(fake_ffhq):
     cfg = FaceIdDatasetConfig(pickle_path=fake_ffhq, num_ids=2,
                               specific_ids=[1, 2], image_size=64, repeats=10)
@@ -186,6 +187,7 @@ def test_jitter_applied_in_train_not_dev(fake_ffhq):
     np.testing.assert_array_equal(dsd[0]["image"], dsd[0]["image"])
 
 
+@pytest.mark.smoke
 def test_loader_per_host_sharding(fake_ffhq):
     """Multi-host data sharding (SURVEY §2.5): same seed -> same global
     order; shards are disjoint and cover it."""

@@ -13,6 +13,7 @@ from celebbasis_tpu.diffusion.sampler import (SamplerConfig, ddim_sample,
                                               plms_sample)
 from celebbasis_tpu.diffusion.schedules import (make_ddim_schedule,
                                                 make_schedule)
+import pytest
 
 SHAPE = (2, 4, 4, 3)
 
@@ -70,6 +71,7 @@ def test_ddim_matches_numpy_loop():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.smoke
 def test_ddim_deterministic_eta0():
     sched = make_schedule()
     ddim = make_ddim_schedule(sched, 5, eta=0.0)
@@ -180,6 +182,7 @@ def test_ddpm_ancestral_stochastic_and_progressive():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_q_sample_and_reconstruct():
     sched = make_schedule()
     arrs = ddpm.ScheduleArrays.from_schedule(sched)
@@ -192,6 +195,7 @@ def test_q_sample_and_reconstruct():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_schedule_values():
     """Pin the schedule numerics to the SD v1 constants."""
     sched = make_schedule()

@@ -6,6 +6,9 @@ import numpy as np
 from celebbasis_tpu.eval.prompt_templates import get_pos_neg_temps
 from celebbasis_tpu.ops.warp import (INSIGHTFACE_TRANS_MATRIX,
                                      affine_warp_resize)
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 
 def test_prompt_template_selection():

@@ -25,6 +25,7 @@ def test_clip_text_shapes():
     np.testing.assert_allclose(out, out2, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_clip_causal():
     """Causality: token t's hidden state must not depend on tokens > t."""
     cfg = CLIPTextConfig.tiny()
@@ -84,6 +85,7 @@ def test_vae_roundtrip_shapes():
     assert img.dtype == jnp.float32
 
 
+@pytest.mark.smoke
 def test_vae_sd_downsample_factor():
     """SD config must be f=8: 4 levels, 3 downsamples."""
     cfg = VAEConfig.sd_v1()

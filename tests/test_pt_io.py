@@ -8,6 +8,8 @@ import pytest
 
 from celebbasis_tpu.utils import pt_io
 
+pytestmark = pytest.mark.smoke
+
 torch = pytest.importorskip("torch")
 
 

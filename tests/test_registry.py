@@ -5,6 +5,8 @@ import pytest
 from celebbasis_tpu.utils.registry import instantiate_from_config
 from celebbasis_tpu.utils.misc import count_params, log_txt_as_img
 
+pytestmark = pytest.mark.smoke
+
 
 def test_registry_reference_dataset_target(tmp_path):
     import pickle

@@ -13,6 +13,8 @@ import pytest
 from celebbasis_tpu.text.tokenizer import (CLIPTokenizer, SOT, EOT,
                                            bytes_to_unicode)
 
+pytestmark = pytest.mark.smoke
+
 transformers = pytest.importorskip("transformers")
 
 

@@ -95,6 +95,7 @@ def test_dryrun_multichip_odd():
     g.dryrun_multichip(5)  # pure-DP path
 
 
+@pytest.mark.smoke
 def test_dp8_matches_single_device():
     """DP over 8 devices == single-device on the same global batch — the
     natural SPMD correctness pin (VERDICT r1 weak #4).  The jitted program
