@@ -168,7 +168,10 @@ class CelebBasisPipeline:
         sample_fn = ddim_sample if sampler == "ddim" else plms_sample
 
         def fn(params, manager_state, basis, tokens, uncond_tokens, ids,
-               num_ids, rng):
+               num_ids, rng, x_T=None):
+            # x_T: optional explicit start latents (B,lat,lat,4) — the
+            # reference's ``start_code``/``x_T`` knob (stable_txt2img.py:327,
+            # ddim.py:96-103); oracle tests use it to pin the composed chain
             B = tokens.shape[0]
             cond = self.conditioning(params, tokens, manager_state, basis,
                                      ids, num_ids)
@@ -176,7 +179,7 @@ class CelebBasisPipeline:
             x = sample_fn(self.eps_model(params), ddim, rng=rng,
                           shape=(B, lat, lat, 4), cond=cond, uncond=uncond,
                           cfg=SamplerConfig(guidance_scale=guidance_scale,
-                                            eta=eta))
+                                            eta=eta), x_T=x_T)
             z = x / self.cfg.scale_factor
             img = self.vae.apply(params["vae"], z,
                                  method=AutoencoderKL.decode)

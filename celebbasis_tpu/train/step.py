@@ -82,9 +82,16 @@ def build_trainable(meta_trainable, unet_params=None, gnet_params=None):
 
 def make_optimizer(lr: float = 1e-2,
                    model_lr: Optional[float] = None,
-                   accumulate: int = 1) -> optax.GradientTransformation:
+                   accumulate: int = 1,
+                   weight_decay: float = 1e-2) -> optax.GradientTransformation:
     """AdamW, reference LR recipe: base 5e-3 scaled by batch (=1e-2 at bs2)
     (main_id_embed.py:778-782, ddpm.py:1454).
+
+    ``weight_decay`` defaults to torch's AdamW default 1e-2 — the reference
+    constructs ``torch.optim.AdamW(embedding_params, lr=lr)`` with no
+    explicit decay (ddpm.py:1455), so torch's default applies; optax's own
+    default (1e-4) would silently diverge (caught by the full-trajectory
+    train oracle, tests/test_composed_train_parity.py).
 
     With ``model_lr`` set, a second AdamW drives the unfrozen UNet at its own
     rate (the reference's ``unfreeze_model``/``model_lr`` path,
@@ -98,12 +105,13 @@ def make_optimizer(lr: float = 1e-2,
     (main_id_embed.py:778-782).
     """
     if model_lr is None:
-        opt = optax.adamw(lr)
+        opt = optax.adamw(lr, weight_decay=weight_decay)
     else:
         # the contra g-net (if present) rides in the embedding-params group
         # at the base lr, like the reference (ddpm.py:1446-1452)
         opt = optax.multi_transform(
-            {"meta": optax.adamw(lr), "unet": optax.adamw(model_lr)},
+            {"meta": optax.adamw(lr, weight_decay=weight_decay),
+             "unet": optax.adamw(model_lr, weight_decay=weight_decay)},
             param_labels=lambda params: {
                 k: ("unet" if k == "unet" else "meta") for k in params})
     if accumulate > 1:
@@ -120,6 +128,13 @@ def make_loss_fn(pipeline, meta_net: MetaIdNet, loss_type: str = "none",
     batch dict: image (B,H,W,3) in [-1,1]; tokens (B,77) int32;
     faces (B,k,Hf,Wf,3); ids (B,k) int32; num_ids (B,) int32.
     frozen: {"unet","vae","clip","meta_frozen"}.
+
+    The batch may optionally carry deterministic draws — ``override_znoise``
+    (the VAE posterior's standard normal), ``override_t`` (B,) int32 and
+    ``override_noise`` (the diffusion eps) — replacing the internal RNG.
+    This exists so oracle tests can replay the reference's own
+    ``training_step`` randomness (torch randn/randint) through the *shipped*
+    loss function, trajectory-for-trajectory.
     """
     if loss_type not in mgr.VALID_LOSS_TYPES:   # never a silent no-op
         raise ValueError(f"unknown loss_type {loss_type!r}; "
@@ -138,12 +153,18 @@ def make_loss_fn(pipeline, meta_net: MetaIdNet, loss_type: str = "none",
         # 1. frozen VAE encode + posterior sample (ddpm.py:702-759)
         mean, logvar = pipeline.vae.apply(frozen["vae"], batch["image"],
                                           method=AutoencoderKL.encode)
-        z0 = sample_posterior(rng_z, mean, logvar) * scale
+        zn = batch.get("override_znoise")
+        z0 = (sample_posterior(rng_z, mean, logvar) if zn is None
+              else mean + jnp.exp(0.5 * logvar) * zn) * scale
         z0 = jax.lax.stop_gradient(z0)
         B = z0.shape[0]
         # 2. diffusion draw
-        t = jax.random.randint(rng_t, (B,), 0, T)
-        noise = jax.random.normal(rng_eps, z0.shape)
+        t = batch.get("override_t")
+        if t is None:
+            t = jax.random.randint(rng_t, (B,), 0, T)
+        noise = batch.get("override_noise")
+        if noise is None:
+            noise = jax.random.normal(rng_eps, z0.shape)
         z_t = ddpm.q_sample(sched, z0, t, noise)
         # 3. identity prediction + injection + text encoding
         meta_params = merge_meta_params(meta_trainable, frozen["meta_frozen"])
