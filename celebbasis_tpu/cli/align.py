@@ -93,12 +93,12 @@ def _align_one(path: str, out_folder: str, detector, landmarker,
     return True
 
 
-def _annotate_one(path: str, out_folder: str, detector, landmarker) -> bool:
-    """lib/demo.py demo_image flow: draw every detection's (1.2x-enlarged)
-    box and its 98 merged landmarks on the image, save ``<name>_out.jpg``."""
+def annotate_frame(rgb: np.ndarray, detector, landmarker):
+    """Shared demo drawing (lib/demo.py demo_image / demo_video.py:72-131):
+    every detection's (1.2x-enlarged) red box + its 98 merged landmarks.
+    Returns (annotated PIL image, any_face)."""
     from PIL import ImageDraw
-    img = Image.open(path).convert("RGB")
-    rgb = np.asarray(img)
+    img = Image.fromarray(np.ascontiguousarray(rgb))
     dets = detector.detect(rgb[:, :, ::-1])
     draw = ImageDraw.Draw(img)
     H, W = rgb.shape[:2]
@@ -113,11 +113,74 @@ def _annotate_one(path: str, out_folder: str, detector, landmarker) -> bool:
         draw.rectangle([xmin, ymin, xmax, ymax], outline=(255, 0, 0), width=2)
         for x, y in landmarker.landmarks_for_box(rgb, det):
             draw.ellipse([x - 2, y - 2, x + 2, y + 2], fill=(255, 0, 0))
+    return img, bool(dets)
+
+
+def _annotate_one(path: str, out_folder: str, detector, landmarker) -> bool:
+    """lib/demo.py demo_image flow on a still image -> ``<name>_out.jpg``."""
+    rgb = np.asarray(Image.open(path).convert("RGB"))
+    img, found = annotate_frame(rgb, detector, landmarker)
     out = os.path.join(out_folder,
                        os.path.splitext(os.path.basename(path))[0]
                        + "_out.jpg")
     img.save(out)
-    return bool(dets)
+    return found
+
+
+def annotate_video(in_path: str, out_path: str, detector, landmarker,
+                   thresh: float = 0.9) -> int:
+    """Per-frame detect+landmark+annotate over a video stream — the
+    reference's ``lib/demo_video.py:72-141`` (detector threshold 0.9 there).
+
+    ``in_path`` may be a video file (decoded/encoded via cv2, mp4v) or a
+    directory of frames; a directory input — or a codec that can't be
+    opened — writes annotated frames to ``out_path`` as a directory
+    (``frame_%06d.jpg``).  Returns the number of frames processed."""
+    old_thresh, detector.thresh = detector.thresh, thresh
+    try:
+        if os.path.isdir(in_path):
+            frames = sorted(
+                p for ext in ("*.jpg", "*.jpeg", "*.png")
+                for p in glob.glob(os.path.join(in_path, ext)))
+            os.makedirs(out_path, exist_ok=True)
+            for i, fp in enumerate(frames):
+                rgb = np.asarray(Image.open(fp).convert("RGB"))
+                img, _ = annotate_frame(rgb, detector, landmarker)
+                img.save(os.path.join(out_path, f"frame_{i:06d}.jpg"))
+            return len(frames)
+
+        import cv2
+        cap = cv2.VideoCapture(0 if in_path == "camera" else in_path)
+        if not cap.isOpened():
+            raise IOError(f"cannot open video stream {in_path!r}")
+        fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        writer = cv2.VideoWriter(out_path,
+                                 cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                                 (w, h))
+        frame_dir = None
+        if not writer.isOpened():       # no codec: frame-dir fallback
+            frame_dir = os.path.splitext(out_path)[0] + "_frames"
+            os.makedirs(frame_dir, exist_ok=True)
+            print(f"[align] no mp4 codec — writing frames to {frame_dir}")
+        count = 0
+        while True:
+            ret, frame = cap.read()     # BGR
+            if not ret:
+                break
+            img, _ = annotate_frame(frame[:, :, ::-1], detector, landmarker)
+            if frame_dir is None:
+                writer.write(np.asarray(img)[:, :, ::-1])
+            else:
+                img.save(os.path.join(frame_dir, f"frame_{count:06d}.jpg"))
+            count += 1
+        cap.release()
+        if frame_dir is None:
+            writer.release()
+        return count
+    finally:
+        detector.thresh = old_thresh
 
 
 def align_folder(in_folder: str, out_folder: str, detector, landmarker,
@@ -146,7 +209,8 @@ def align_folder(in_folder: str, out_folder: str, detector, landmarker,
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--in_folder", required=True)
+    p.add_argument("--in_folder", default=None,
+                   help="input photo folder (required unless --video)")
     p.add_argument("--out_folder", required=True)
     p.add_argument("--crop_size", type=int, default=512)
     p.add_argument("--mode", type=str, default="ffhq",
@@ -159,10 +223,25 @@ def main(argv=None):
     p.add_argument("--annotate", action="store_true",
                    help="demo mode (lib/demo.py): draw boxes + landmarks "
                         "instead of cropping; no pickle is written")
+    p.add_argument("--video", type=str, default=None,
+                   help="video demo (lib/demo_video.py): per-frame "
+                        "detect+landmark+annotate; a video file, 'camera', "
+                        "or a directory of frames. --out_folder is the "
+                        "output video path (or frame directory)")
+    p.add_argument("--video_thresh", type=float, default=0.9,
+                   help="detector threshold for --video "
+                        "(demo_video.py my_thresh)")
     args = p.parse_args(argv)
+    if args.video is None and args.in_folder is None:
+        p.error("--in_folder is required unless --video is given")
 
     detector = _init_detector(args.detector_ckpt)
     landmarker = _init_landmarker(args.pipnet_ckpt, args.meanface)
+    if args.video:
+        n = annotate_video(args.video, args.out_folder, detector, landmarker,
+                           thresh=args.video_thresh)
+        print(f"[align] annotated {n} video frames -> {args.out_folder}")
+        return
     if args.annotate:
         os.makedirs(args.out_folder, exist_ok=True)
         images = sorted(
