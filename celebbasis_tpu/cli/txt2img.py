@@ -107,7 +107,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="tensor-parallel sampling over N devices (Megatron "
                         "attention/MLP sharding of the frozen UNet/CLIP; "
                         "cuts single-image latency instead of batching — "
-                        "composes with --mesh as a (data, model) mesh)")
+                        "composes with --mesh as a (data, model) mesh). "
+                        "On a v5e-8 prefer --mesh 8 when batch >= 8 and "
+                        "--mesh 4 --tp 2 when latency-bound; see PERF.md "
+                        "'TP sampling audit' for the measured collective/"
+                        "HBM table behind this")
     return p
 
 

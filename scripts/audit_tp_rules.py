@@ -159,6 +159,92 @@ def _frozen_bytes_per_chip(frozen, shardings, n_data):
     return total
 
 
+def _tp_bytes_per_chip(params, shardings):
+    """Analytic per-chip bytes of a param tree under the given shardings
+    (each leaf divided by the product of mesh-axis sizes its spec uses)."""
+    total = 0
+    for leaf, sh in zip(jax.tree.leaves(params), jax.tree.leaves(
+            shardings, is_leaf=lambda x: hasattr(x, "spec"))):
+        nbytes = int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+        div = 1
+        for ax in sh.spec:
+            if ax is not None:
+                div *= sh.mesh.shape[ax]
+        total += nbytes // div
+    return total
+
+
+def audit_tp_sampling_full(image_size: int = 512, B: int = 8,
+                           num_steps: int = 50):
+    """Compile the FULL SD-size --tp sampling graph (txt2img: DDIM 50, CFG,
+    VAE decode — cli/txt2img.py:165-207) on the virtual 8-device mesh at
+    8x1 / 4x2 / 2x4 / 1x8 data x model splits: collective counts + per-chip
+    frozen-param HBM per mesh (VERDICT r3 #5).  Compile-only: params are
+    ShapeDtypeStructs in bf16 (the CLI's inference default)."""
+    from celebbasis_tpu.core import manager as mgr
+    from celebbasis_tpu.pipeline import CelebBasisPipeline, PipelineConfig
+    from celebbasis_tpu.text import CLIPTokenizer
+
+    tok = CLIPTokenizer.synthetic()
+    cfg = PipelineConfig.sd_v1()
+    pipe = CelebBasisPipeline(cfg, tok)
+    key = jax.random.key(0)
+    params = jax.eval_shape(lambda r: pipe.init_params(r, image_size), key)
+    # the CLI samples with bf16 frozen weights (--precision bf16 default)
+    params = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(
+            a.shape, jnp.bfloat16 if a.dtype == jnp.float32 else a.dtype),
+        params)
+    mstate = jax.eval_shape(lambda r: mgr.init_state(pipe.manager_cfg, r),
+                            key)
+    k = len(pipe.manager_cfg.placeholder_token_ids)
+    basis = jax.ShapeDtypeStruct((cfg.basis.num_embeds_per_token,
+                                  1 + cfg.basis.n_components,
+                                  cfg.clip.width), jnp.float32)
+    fn = pipe.make_txt2img_fn(num_steps=num_steps, image_size=image_size,
+                              output="uint8")
+    rows = []
+    for n_data, n_model in ((8, 1), (4, 2), (2, 4), (1, 8)):
+        mesh = pmesh.make_mesh(n_data=n_data, n_model=n_model)
+        repl = pmesh.replicated(mesh)
+        p_sh = pmesh.param_shardings(params, mesh, use_tp=(n_model > 1))
+        params_abs = _with_shardings(params, p_sh)
+        bsh = pmesh.batch_sharding(mesh)
+        abstract = lambda shape, dt, sh: jax.ShapeDtypeStruct(  # noqa: E731
+            shape, dt, sharding=sh)
+        args = (
+            params_abs,
+            jax.tree.map(lambda a: jax.ShapeDtypeStruct(
+                a.shape, a.dtype, sharding=repl), mstate),
+            abstract(basis.shape, basis.dtype, repl),
+            abstract((B, 77), jnp.int32, bsh),
+            abstract((B, 77), jnp.int32, bsh),
+            abstract((B, k), jnp.int32, bsh),
+            abstract((B,), jnp.int32, bsh),
+            jax.eval_shape(lambda: jax.random.key(1)),
+        )
+        with jax.set_mesh(mesh):
+            compiled = fn.lower(*args).compile()
+        text = compiled.as_text()
+        counts = count_collectives(text)
+        per_chip = _tp_bytes_per_chip(params, p_sh)
+        mem = {}
+        try:
+            ma = compiled.memory_analysis()
+            mem = {"argument_size_gb": ma.argument_size_in_bytes / 2**30,
+                   "temp_size_gb": ma.temp_size_in_bytes / 2**30}
+        except Exception:
+            pass
+        total = sum(counts.values())
+        rows.append((n_data, n_model, counts, per_chip, mem))
+        print(f"{n_data}x{n_model} data x model: total={total:4d}  "
+              + "  ".join(f"{kk}={v}" for kk, v in counts.items())
+              + f"  params/chip={per_chip / 2**30:.2f} GiB"
+              + (f"  temp={mem.get('temp_size_gb', 0):.2f} GiB"
+                 if mem else ""), flush=True)
+    return 0
+
+
 def audit_fsdp_full():
     """Compile the FULL SD-size step on the virtual 8-mesh, dp vs fsdp:
     collective counts + per-chip frozen-HBM — proof for the claimed ~8x
@@ -212,6 +298,8 @@ def audit_fsdp_full():
 def main():
     if "--fsdp-full" in sys.argv:
         return audit_fsdp_full()
+    if "--tp-sampling-full" in sys.argv:
+        return audit_tp_sampling_full()
     step_fn, state, frozen, basis, batch = build_setup()
     mesh = pmesh.make_mesh(n_data=4, n_model=2)
     results = {}
