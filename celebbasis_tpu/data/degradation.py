@@ -30,6 +30,8 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 from scipy import ndimage
 
+from celebbasis_tpu.utils.image_ops import imresize_np
+
 
 def uint2single(img: np.ndarray) -> np.ndarray:
     return np.float32(img / 255.0)
@@ -232,6 +234,155 @@ def add_jpeg_noise(img: np.ndarray, rng: np.random.Generator,
 
 
 # ---------------------------------------------------------------------------
+# classical degradation toolbox (bsrgan.py:29-335 — deterministic helpers the
+# SRMD/DPSR/BlindSR lineages use; oracle-tested in tests/test_degradation.py)
+# ---------------------------------------------------------------------------
+
+def modcrop_np(img: np.ndarray, sf: int) -> np.ndarray:
+    """bsrgan.py:29-40."""
+    w, h = img.shape[:2]
+    return np.copy(img)[:w - w % sf, :h - h % sf, ...]
+
+
+def analytic_kernel(k: np.ndarray) -> np.ndarray:
+    """X4 kernel from the X2 kernel (bsrgan.py:49-62): k (x) k on a doubled
+    grid, edge-cropped, renormalized — the double loop becomes one
+    zero-padded correlation stack."""
+    ks = k.shape[0]
+    big = np.zeros((3 * ks - 2, 3 * ks - 2))
+    for r in range(ks):
+        for c in range(ks):
+            big[2 * r:2 * r + ks, 2 * c:2 * c + ks] += k[r, c] * k
+    crop = ks // 2
+    big = big[crop:-crop, crop:-crop]
+    return big / big.sum()
+
+
+def gm_blur_kernel(mean, cov, size: int = 15) -> np.ndarray:
+    """Gaussian-mixture blur kernel (bsrgan.py:86-96): multivariate normal
+    pdf on the (x, y) grid centered at size/2 + 0.5 - 1, normalized.  The
+    per-cell scipy.stats pdf loop is one vectorized quadratic form."""
+    mean = np.asarray(mean, np.float64)
+    cov = np.asarray(cov, np.float64)
+    center = size / 2.0 + 0.5
+    y, x = np.mgrid[0:size, 0:size]
+    pts = np.stack([x - center + 1, y - center + 1], axis=-1) - mean
+    inv = np.linalg.inv(cov)
+    q = np.einsum("...i,ij,...j->...", pts, inv, pts)
+    k = np.exp(-0.5 * q) / (2 * np.pi * np.sqrt(np.linalg.det(cov)))
+    return k / k.sum()
+
+
+def gen_kernel(k_size=(15, 15), scale_factor=(4, 4), min_var: float = 0.6,
+               max_var: float = 10.0, noise_level: float = 0,
+               rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Random shifted anisotropic kernel (bsrgan.py:145-184, the BlindSR
+    dataset generator); rng threaded instead of np.random globals."""
+    rng = rng or np.random.default_rng()
+    k_size = np.asarray(k_size)
+    scale_factor = np.asarray(scale_factor)
+    lambda_1 = min_var + rng.random() * (max_var - min_var)
+    lambda_2 = min_var + rng.random() * (max_var - min_var)
+    theta = rng.random() * np.pi
+    noise = -noise_level + rng.random(tuple(k_size)) * noise_level * 2
+
+    lam = np.diag([lambda_1, lambda_2])
+    q_rot = np.array([[np.cos(theta), -np.sin(theta)],
+                      [np.sin(theta), np.cos(theta)]])
+    sigma = q_rot @ lam @ q_rot.T
+    inv_sigma = np.linalg.inv(sigma)[None, None]
+
+    mu = (k_size // 2 - 0.5 * (scale_factor - 1))[None, None, :, None]
+    xg, yg = np.meshgrid(range(k_size[0]), range(k_size[1]))
+    z = np.stack([xg, yg], 2)[:, :, :, None]
+    zz = z - mu
+    zz_t = zz.transpose(0, 1, 3, 2)
+    raw = np.exp(-0.5 * np.squeeze(zz_t @ inv_sigma @ zz)) * (1 + noise)
+    return raw / np.sum(raw)
+
+
+def fspecial_laplacian(alpha: float) -> np.ndarray:
+    """matlab fspecial('laplacian') (bsrgan.py:201-207)."""
+    alpha = max(0.0, min(float(alpha), 1.0))
+    h1 = alpha / (alpha + 1)
+    h2 = (1 - alpha) / (alpha + 1)
+    return np.array([[h1, h2, h1], [h2, -4 / (alpha + 1), h2], [h1, h2, h1]])
+
+
+def fspecial(filter_type: str, *args, **kwargs) -> np.ndarray:
+    """Dispatcher (bsrgan.py:210-218)."""
+    if filter_type == "gaussian":
+        return gaussian_kernel(*args, **kwargs)
+    if filter_type == "laplacian":
+        return fspecial_laplacian(*args, **kwargs)
+    raise ValueError(f"unknown fspecial filter: {filter_type}")
+
+
+def bicubic_degradation(x: np.ndarray, sf: int = 3) -> np.ndarray:
+    """MATLAB-bicubic downsample (bsrgan.py:228-237)."""
+    return imresize_np(x, scale=1 / sf)
+
+
+def srmd_degradation(x: np.ndarray, k: np.ndarray, sf: int = 3) -> np.ndarray:
+    """blur (wrap) + bicubic downsample (bsrgan.py:240-259, SRMD)."""
+    x = ndimage.convolve(x, np.expand_dims(k, axis=2), mode="wrap")
+    return bicubic_degradation(x, sf=sf)
+
+
+def dpsr_degradation(x: np.ndarray, k: np.ndarray, sf: int = 3) -> np.ndarray:
+    """bicubic downsample + blur (bsrgan.py:262-281, DPSR)."""
+    x = bicubic_degradation(x, sf=sf)
+    return ndimage.convolve(x, np.expand_dims(k, axis=2), mode="wrap")
+
+
+def classical_degradation(x: np.ndarray, k: np.ndarray,
+                          sf: int = 3) -> np.ndarray:
+    """blur (wrap) + nearest downsample (bsrgan.py:284-296)."""
+    x = ndimage.convolve(x, np.expand_dims(k, axis=2), mode="wrap")
+    return x[0::sf, 0::sf, ...]
+
+
+def _gaussian_blur_cv(img: np.ndarray, ksize: int) -> np.ndarray:
+    """cv2.GaussianBlur(img, (k, k), 0) semantics: sigma from ksize
+    (0.3*((k-1)*0.5 - 1) + 0.8), separable, reflect-101 border."""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    i = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2
+    k1 = np.exp(-(i ** 2) / (2 * sigma ** 2))
+    k1 /= k1.sum()
+    out = ndimage.convolve1d(img, k1, axis=0, mode="mirror")
+    return ndimage.convolve1d(out, k1, axis=1, mode="mirror")
+
+
+def add_sharpening(img: np.ndarray, weight: float = 0.5, radius: int = 50,
+                   threshold: int = 10) -> np.ndarray:
+    """USM sharpening (bsrgan.py:299-322, borrowed from Real-ESRGAN):
+    residual mask blur, soft composite."""
+    if radius % 2 == 0:
+        radius += 1
+    blur_img = _gaussian_blur_cv(img, radius)
+    residual = img - blur_img
+    mask = (np.abs(residual) * 255 > threshold).astype(np.float32)
+    soft_mask = _gaussian_blur_cv(mask, radius)
+    sharp = np.clip(img + weight * residual, 0, 1)
+    return soft_mask * sharp + (1 - soft_mask) * img
+
+
+def random_crop(lq: np.ndarray, hq: np.ndarray, sf: int = 4,
+                lq_patchsize: int = 64,
+                rng: Optional[np.random.Generator] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Aligned LR/HR crop pair (bsrgan.py:427-435)."""
+    rng = rng or np.random.default_rng()
+    h, w = lq.shape[:2]
+    rnd_h = int(rng.integers(0, h - lq_patchsize + 1))
+    rnd_w = int(rng.integers(0, w - lq_patchsize + 1))
+    lq = lq[rnd_h:rnd_h + lq_patchsize, rnd_w:rnd_w + lq_patchsize, :]
+    hq = hq[rnd_h * sf:(rnd_h + lq_patchsize) * sf,
+            rnd_w * sf:(rnd_w + lq_patchsize) * sf, :]
+    return lq, hq
+
+
+# ---------------------------------------------------------------------------
 # full pipelines
 # ---------------------------------------------------------------------------
 
@@ -248,8 +399,13 @@ def degradation_bsrgan_variant(image: np.ndarray, sf: int = 4,
     img = img.copy()[:w1 - w1 % sf, :h1 - h1 % sf, ...]   # mod crop (ref quirk: w/h swapped — harmless on square crops, replicated)
 
     if sf == 4 and rng.random() < scale2_prob:            # early 1/2
-        img = _resize(img, int(img.shape[1] / 2), int(img.shape[0] / 2),
-                      int(rng.choice(_CV2_INTERP)))
+        # the reference coin-flips interpolated cv2.resize vs MATLAB bicubic
+        # (bsrgan_light.py:553-559)
+        if rng.random() < 0.5:
+            img = _resize(img, int(img.shape[1] / 2), int(img.shape[0] / 2),
+                          int(rng.choice(_CV2_INTERP)))
+        else:
+            img = imresize_np(img, 1 / 2, True)
         img = np.clip(img, 0.0, 1.0)
         sf = 2
 
@@ -313,8 +469,11 @@ def degradation_bsrgan(img: np.ndarray, sf: int = 4, lq_patchsize: int = 72,
     hq = img.copy()
 
     if sf == 4 and rng.random() < scale2_prob:
-        img = _resize(img, int(img.shape[1] / 2), int(img.shape[0] / 2),
-                      int(rng.choice(_CV2_INTERP)))
+        if rng.random() < 0.5:                  # same coin (bsrgan_light.py:465-471)
+            img = _resize(img, int(img.shape[1] / 2), int(img.shape[0] / 2),
+                          int(rng.choice(_CV2_INTERP)))
+        else:
+            img = imresize_np(img, 1 / 2, True)
         img = np.clip(img, 0.0, 1.0)
         sf = 2
 
@@ -358,3 +517,56 @@ def degradation_bsrgan(img: np.ndarray, sf: int = 4, lq_patchsize: int = 72,
     hq = hq[rh * sf_ori:(rh + lq_patchsize) * sf_ori,
             rw * sf_ori:(rw + lq_patchsize) * sf_ori]
     return lq, hq
+
+
+def degradation_bsrgan_plus(img: np.ndarray, sf: int = 4,
+                            shuffle_prob: float = 0.5,
+                            use_sharp: bool = True, lq_patchsize: int = 64,
+                            rng: Optional[np.random.Generator] = None
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """BSRGAN+Real-ESRGAN hybrid chain (bsrgan.py:617-714): optional USM
+    sharpening, 13-slot shuffled (or locally-shuffled) double
+    blur/resize/noise pass, final interpolated downsample + JPEG, aligned
+    crop pair.  float [0,1] HWC in; (lq, hq) out.  The never-provided
+    isp_model slots (5/12) are skipped identically; the reference's
+    global-random draws become one threaded rng."""
+    rng = rng or np.random.default_rng()
+    h1, w1 = img.shape[:2]
+    img = img.copy()[:w1 - w1 % sf, :h1 - h1 % sf, ...]   # ref's w/h swap kept
+    h, w = img.shape[:2]
+    if h < lq_patchsize * sf or w < lq_patchsize * sf:
+        raise ValueError(f"img size ({h1}X{w1}) is too small!")
+
+    if use_sharp:
+        img = add_sharpening(img)
+    hq = img.copy()
+
+    if rng.random() < shuffle_prob:
+        order = list(rng.permutation(13))
+    else:
+        order = list(range(13))
+        order[2:6] = list(rng.permutation(order[2:6]))
+        order[9:13] = list(rng.permutation(order[9:13]))
+
+    poisson_prob, speckle_prob = 0.1, 0.1
+    for i in order:
+        if i in (0, 7):
+            img = add_blur(img, sf=sf, rng=rng, light=False)
+        elif i in (1, 8):
+            img = add_resize(img, sf=sf, rng=rng)
+        elif i in (2, 9):
+            img = add_gaussian_noise(img, rng, 2, 25)
+        elif i in (3, 10):
+            if rng.random() < poisson_prob:
+                img = add_poisson_noise(img, rng)
+        elif i in (4, 11):
+            if rng.random() < speckle_prob:
+                img = add_speckle_noise(img, rng)
+        elif i == 6:
+            img = add_jpeg_noise(img, rng, 30, 95)
+        # i in (5, 12): ISP model never provided — skipped like the reference
+
+    img = _resize(img, int(hq.shape[1] / sf), int(hq.shape[0] / sf),
+                  int(rng.choice(_CV2_INTERP)))
+    img = add_jpeg_noise(img, rng, 30, 95)
+    return random_crop(img, hq, sf, lq_patchsize, rng=rng)

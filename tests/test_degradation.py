@@ -112,3 +112,79 @@ def test_full_variant_differs_from_light():
                                            light=False)["image"]
     assert out_l.shape == out_f.shape
     assert not np.array_equal(out_l, out_f)
+
+
+# ---------------------------------------------------------------------------
+# classical toolbox (bsrgan.py:29-335 + degradation_bsrgan_plus :617-714)
+# ---------------------------------------------------------------------------
+
+ref_full = pytest.importorskip("ldm.modules.image_degradation.bsrgan")
+
+
+def _img64(seed=0):
+    return np.random.RandomState(seed).rand(64, 64, 3).astype(np.float32)
+
+
+def test_classical_degradations_match():
+    x = _img64()
+    k = deg.gaussian_kernel(7, 1.1)
+    np.testing.assert_allclose(deg.bicubic_degradation(x, 2),
+                               ref_full.bicubic_degradation(x, 2), atol=3e-7)
+    np.testing.assert_allclose(deg.srmd_degradation(x, k, 2),
+                               ref_full.srmd_degradation(x, k, 2), atol=3e-7)
+    np.testing.assert_allclose(deg.dpsr_degradation(x, k, 2),
+                               ref_full.dpsr_degradation(x, k, 2), atol=3e-7)
+    np.testing.assert_allclose(deg.classical_degradation(x, k, 2),
+                               ref_full.classical_degradation(x, k, 2),
+                               atol=3e-7)
+
+
+def test_kernel_generators_match():
+    k = deg.gaussian_kernel(7, 1.3)
+    np.testing.assert_allclose(deg.analytic_kernel(k),
+                               ref_full.analytic_kernel(k), atol=1e-12)
+    np.testing.assert_allclose(
+        deg.gm_blur_kernel([0.3, -0.2], np.array([[2.0, 0.4], [0.4, 1.5]]), 9),
+        ref_full.gm_blur_kernel([0.3, -0.2], [[2.0, 0.4], [0.4, 1.5]], 9),
+        atol=1e-12)
+    np.testing.assert_allclose(deg.fspecial_laplacian(0.3),
+                               ref_full.fspecial_laplacian(0.3), atol=0)
+    g = deg.gen_kernel(rng=np.random.default_rng(0))
+    assert g.shape == (15, 15) and g.sum() == pytest.approx(1.0)
+    np.testing.assert_array_equal(g, deg.gen_kernel(
+        rng=np.random.default_rng(0)))
+
+
+def test_add_sharpening_matches():
+    x = _img64(1)
+    np.testing.assert_allclose(deg.add_sharpening(x),
+                               ref_full.add_sharpening(x), atol=3e-6)
+
+
+def test_modcrop_random_crop():
+    x = np.random.RandomState(2).rand(37, 41, 3).astype(np.float32)
+    np.testing.assert_array_equal(deg.modcrop_np(x, 4),
+                                  ref_full.modcrop_np(x, 4))
+    lq = np.random.RandomState(3).rand(32, 32, 3).astype(np.float32)
+    hq = np.random.RandomState(4).rand(128, 128, 3).astype(np.float32)
+    a_l, a_h = deg.random_crop(lq, hq, 4, 16, rng=np.random.default_rng(5))
+    b_l, b_h = deg.random_crop(lq, hq, 4, 16, rng=np.random.default_rng(5))
+    assert a_l.shape == (16, 16, 3) and a_h.shape == (64, 64, 3)
+    np.testing.assert_array_equal(a_l, b_l)
+    np.testing.assert_array_equal(a_h, b_h)
+
+
+def test_degradation_bsrgan_plus_contract():
+    img = np.random.RandomState(6).rand(96, 96, 3).astype(np.float32)
+    for sharp in (True, False):
+        lq, hq = deg.degradation_bsrgan_plus(
+            img, sf=4, lq_patchsize=16, use_sharp=sharp,
+            rng=np.random.default_rng(7))
+        assert lq.shape == (16, 16, 3) and hq.shape == (64, 64, 3)
+        assert lq.dtype == np.float32 and np.isfinite(lq).all()
+        assert 0.0 <= lq.min() and lq.max() <= 1.0
+    a = deg.degradation_bsrgan_plus(img, sf=4, lq_patchsize=16,
+                                    rng=np.random.default_rng(8))
+    b = deg.degradation_bsrgan_plus(img, sf=4, lq_patchsize=16,
+                                    rng=np.random.default_rng(8))
+    np.testing.assert_array_equal(a[0], b[0])
