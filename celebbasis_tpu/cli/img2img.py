@@ -36,19 +36,30 @@ def make_img2img_fn(pipe, num_steps: int, strength: float,
                               jnp.float32)
     sqrt_omas = jnp.asarray(ddim.sqrt_one_minus_alphas[:t_enc][order].copy(),
                             jnp.float32)
-    a_enc = float(ddim.alphas[t_enc - 1])
+    # stochastic_encode gathers ddim_alphas[t_enc] — one level ABOVE the
+    # first decode step's alpha (ddim.py:207-220; scripts-style
+    # t_enc = int(strength * steps)).  At strength 1.0 the reference indexes
+    # out of bounds and crashes; we define that case as pure noise
+    # (alpha -> 0), i.e. full regeneration.
+    a_enc = float(ddim.alphas[t_enc]) if t_enc < num_steps else 0.0
     scale_f = pipe.cfg.scale_factor
 
     def fn(params, mstate, basis, init_image, mask, tokens, uncond_tokens,
-           ids, num_ids, rng):
+           ids, num_ids, rng, override_z0=None, override_noise=None):
+        # override_z0 / override_noise: oracle hooks (like txt2img's x_T) —
+        # bypass the posterior draw / encode-noise draw with explicit values
         B = tokens.shape[0]
         cond = pipe.conditioning(params, tokens, mstate, basis, ids, num_ids)
         uncond = pipe.conditioning(params, uncond_tokens)
         rng, r_enc, r_noise = jax.random.split(rng, 3)
-        mean, logvar = pipe.vae.apply(params["vae"], init_image,
-                                      method=AutoencoderKL.encode)
-        z0 = sample_posterior(r_enc, mean, logvar) * scale_f
-        noise = jax.random.normal(r_noise, z0.shape)
+        if override_z0 is None:
+            mean, logvar = pipe.vae.apply(params["vae"], init_image,
+                                          method=AutoencoderKL.encode)
+            z0 = sample_posterior(r_enc, mean, logvar) * scale_f
+        else:
+            z0 = override_z0
+        noise = (jax.random.normal(r_noise, z0.shape)
+                 if override_noise is None else override_noise)
         x = jnp.sqrt(a_enc) * z0 + jnp.sqrt(1 - a_enc) * noise
         eps_model = pipe.eps_model(params)
 

@@ -34,13 +34,25 @@ def make_ti_train_step(pipe, cfg: ti.TIConfig, ph_ids, optimizer,
     T = pipe.cfg.timesteps
 
     def loss_fn(params, frozen, batch, rng):
+        # batch may carry override_znoise / override_t / override_noise —
+        # deterministic draws replacing the internal RNG (same contract as
+        # train/step.py; the composed TI trajectory oracle feeds the
+        # reference's captured torch draws through these)
         rz, rt, re = jax.random.split(rng, 3)
         mean, logvar = pipe.vae.apply(frozen["vae"], batch["image"],
                                       method=AutoencoderKL.encode)
-        z0 = jax.lax.stop_gradient(sample_posterior(rz, mean, logvar) * scale)
+        zn = batch.get("override_znoise")
+        std = jnp.exp(0.5 * logvar)
+        z0 = (sample_posterior(rz, mean, logvar) if zn is None
+              else mean + std * zn) * scale
+        z0 = jax.lax.stop_gradient(z0)
         B = z0.shape[0]
-        t = jax.random.randint(rt, (B,), 0, T)
-        noise = jax.random.normal(re, z0.shape)
+        t = batch.get("override_t")
+        if t is None:
+            t = jax.random.randint(rt, (B,), 0, T)
+        noise = batch.get("override_noise")
+        if noise is None:
+            noise = jax.random.normal(re, z0.shape)
         z_t = ddpm.q_sample(sched, z0, t, noise)
         embeds = pipe.clip.apply(frozen["clip"], batch["tokens"],
                                  method=CLIPTextEncoder.token_embed)
@@ -98,7 +110,11 @@ def main(argv=None):
                          jnp.int32)
 
     lr = args.lr * args.batch_size  # reference scale_lr recipe
-    optimizer = optax.adamw(lr)
+    # torch AdamW's default weight decay is 1e-2 (ddpm.py:1455 passes none);
+    # bare optax.adamw defaults to 1e-4 and silently diverges — same parity
+    # trap the W2 oracle caught in train/step.py::make_optimizer
+    from celebbasis_tpu.train.step import make_optimizer
+    optimizer = make_optimizer(lr)
     opt_state = optimizer.init(params)
     step_fn = make_ti_train_step(pipe, cfg, ph_ids, optimizer,
                                  reg_weight=0.0, init_vectors=init_vectors)

@@ -179,3 +179,20 @@ def test_train_cached_with_mesh(workdir):
     ])
     assert os.path.exists(os.path.join(run_dir, "checkpoints",
                                        "embeddings_gs-4.pt"))
+
+
+def test_train_ti_cli(workdir):
+    """TI training CLI end-to-end on the tiny config (the reference's
+    textual_train.sh path): 3 steps, checkpoint written, loadable."""
+    from celebbasis_tpu.cli import train_ti
+    from celebbasis_tpu.core.textual_inversion import load_ti_checkpoint
+
+    logdir = str(workdir / "ti_logs")
+    train_ti.main(["--base", os.path.join(REPO, "configs", "tiny.yaml"),
+                   "--data_root", str(workdir / "data"),
+                   "--max_steps", "3", "--image_size", "32",
+                   "--logdir", logdir, "--name", "ti_e2e"])
+    ckpts = glob.glob(os.path.join(logdir, "*ti_e2e*", "checkpoints", "*.pt"))
+    assert ckpts, f"no TI checkpoint under {logdir}"
+    loaded = load_ti_checkpoint(ckpts[0])
+    assert "*" in loaded

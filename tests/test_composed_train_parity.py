@@ -105,9 +105,11 @@ class _RngRecorder:
         self.randint.clear()
 
 
-def _tiny_ref_model():
+def _tiny_ref_model(personalization=None):
     """The reference LatentDiffusion from a tiny aigc_id.yaml-shaped config
-    (configs/stable-diffusion/aigc_id.yaml params, toy sizes)."""
+    (configs/stable-diffusion/aigc_id.yaml params, toy sizes).
+    ``personalization`` overrides the embedding-manager config (the TI
+    trajectory oracle swaps in the baseline EmbeddingManager)."""
     from ldm.util import instantiate_from_config
 
     cfg = omegaconf.OmegaConf.create({
@@ -157,6 +159,8 @@ def _tiny_ref_model():
                            "use_celeb": False}},
         },
     })
+    if personalization is not None:
+        cfg["params"]["personalization_config"] = personalization
     return instantiate_from_config(cfg)
 
 
@@ -427,3 +431,240 @@ def test_composed_w3_generation_parity(stacks):
     got = (np.asarray(imgs).transpose(0, 3, 1, 2) + 1.0) / 2.0
 
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_composed_w3_plms_parity(stacks):
+    """Composed --plms chain oracle: the reference's own PLMSSampler.sample
+    (plms.py:119-236, the stable_txt2img.py --plms path) with coefficient
+    injection + CFG vs our ``make_txt2img_fn(sampler='plms')`` — same bridged
+    weights, dictionaries, and x_T; final pixels must match."""
+    from ldm.models.diffusion.plms import PLMSSampler
+
+    s = stacks
+    ref = s["ref"]
+    pipe = s["pipe"]
+    rng = np.random.default_rng(33)
+    S, SCALE = 5, 7.5
+
+    emb0 = rng.standard_normal((MAX_IDS, NUM_ES, TOKEN_DIM)).astype(np.float32)
+    coef0 = rng.standard_normal((MAX_IDS, NUM_ES, 1, INNER)).astype(np.float32)
+    ref.embedding_manager.id_embeddings = [torch.from_numpy(emb0[i].copy())
+                                           for i in range(MAX_IDS)]
+    ref.embedding_manager.id_coefficients = [torch.from_numpy(coef0[i].copy())
+                                             for i in range(MAX_IDS)]
+    mstate = mgr.ManagerState(jnp.asarray(emb0), jnp.asarray(coef0))
+    basis = rng.standard_normal((NUM_ES, 1 + INNER, TOKEN_DIM)).astype(
+        np.float32)
+    ref.cond_stage_model.celeb_embeddings = torch.from_numpy(basis.copy())
+    ref.eval()
+
+    prompts = ["a photo of sks person and ks person"] * B
+    ids = np.asarray([[0, 1]] * B, np.int32)
+    num_ids = np.asarray([2] * B, np.int32)
+    x_T = rng.standard_normal((B, 4, IMG // 2, IMG // 2)).astype(np.float32)
+
+    class _CPUSampler(PLMSSampler):   # plms.py casts buffers to cuda; no GPU
+        def register_buffer(self, name, attr):
+            setattr(self, name, attr)
+
+    image_ori = {"faces": None,
+                 "ids": torch.from_numpy(ids).long(),
+                 "num_ids": torch.full((B,), 2, dtype=torch.long)}
+    with torch.no_grad():
+        uc = ref.get_learned_conditioning(B * [""])
+        c = ref.get_learned_conditioning(prompts, image_ori=image_ori)
+        sampler = _CPUSampler(ref)
+        samples, _ = sampler.sample(
+            S=S, conditioning=c, batch_size=B,
+            shape=(4, IMG // 2, IMG // 2), verbose=False,
+            unconditional_guidance_scale=SCALE, unconditional_conditioning=uc,
+            eta=0.0, x_T=torch.from_numpy(x_T))
+        dec = ref.decode_first_stage(samples)
+        want = torch.clamp((dec + 1.0) / 2.0, min=0.0, max=1.0).numpy()
+
+    fn = pipe.make_txt2img_fn(num_steps=S, guidance_scale=SCALE,
+                              image_size=IMG, sampler="plms")
+    imgs = fn(s["frozen_models"], mstate, jnp.asarray(basis),
+              jnp.asarray(s["tok"](prompts)), jnp.asarray(s["tok"]([""] * B)),
+              jnp.asarray(ids), jnp.asarray(num_ids), jax.random.key(0),
+              x_T=jnp.asarray(x_T.transpose(0, 2, 3, 1)))
+    got = (np.asarray(imgs).transpose(0, 3, 1, 2) + 1.0) / 2.0
+
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_composed_img2img_parity(stacks):
+    """Composed img2img chain oracle: the reference DDIMSampler's
+    stochastic_encode (ddim.py:207-220, gathers ddim_alphas[t_enc]) +
+    partial CFG decode (ddim.py:223-241) vs our shipped
+    ``cli/img2img.make_img2img_fn`` — same latents, encode noise, bridged
+    weights, dictionaries.  Pins the strength->t_enc encode level and the
+    reversed partial-chain step alphas."""
+    from ldm.models.diffusion.ddim import DDIMSampler
+
+    from celebbasis_tpu.cli.img2img import make_img2img_fn
+
+    s = stacks
+    ref = s["ref"]
+    pipe = s["pipe"]
+    rng = np.random.default_rng(55)
+    S, SCALE, T_ENC = 5, 4.0, 3
+
+    emb0 = rng.standard_normal((MAX_IDS, NUM_ES, TOKEN_DIM)).astype(np.float32)
+    coef0 = rng.standard_normal((MAX_IDS, NUM_ES, 1, INNER)).astype(np.float32)
+    ref.embedding_manager.id_embeddings = [torch.from_numpy(emb0[i].copy())
+                                           for i in range(MAX_IDS)]
+    ref.embedding_manager.id_coefficients = [torch.from_numpy(coef0[i].copy())
+                                             for i in range(MAX_IDS)]
+    mstate = mgr.ManagerState(jnp.asarray(emb0), jnp.asarray(coef0))
+    basis = rng.standard_normal((NUM_ES, 1 + INNER, TOKEN_DIM)).astype(
+        np.float32)
+    ref.cond_stage_model.celeb_embeddings = torch.from_numpy(basis.copy())
+    ref.eval()
+
+    prompts = ["a photo of sks person"] * B
+    ids = np.asarray([[0, 0]] * B, np.int32)
+    num_ids = np.asarray([1] * B, np.int32)
+    z0 = rng.standard_normal((B, 4, IMG // 2, IMG // 2)).astype(np.float32)
+    enc_noise = rng.standard_normal(z0.shape).astype(np.float32)
+
+    class _CPUSampler(DDIMSampler):
+        def register_buffer(self, name, attr):
+            setattr(self, name, attr)
+
+    image_ori = {"faces": None,
+                 "ids": torch.from_numpy(ids).long(),
+                 "num_ids": torch.full((B,), 1, dtype=torch.long)}
+    with torch.no_grad():
+        uc = ref.get_learned_conditioning(B * [""])
+        c = ref.get_learned_conditioning(prompts, image_ori=image_ori)
+        sampler = _CPUSampler(ref)
+        sampler.make_schedule(ddim_num_steps=S, ddim_eta=0.0, verbose=False)
+        z_enc = sampler.stochastic_encode(
+            torch.from_numpy(z0), torch.full((B,), T_ENC, dtype=torch.long),
+            noise=torch.from_numpy(enc_noise))
+        x_dec = sampler.decode(z_enc, c, T_ENC,
+                               unconditional_guidance_scale=SCALE,
+                               unconditional_conditioning=uc)
+        dec = ref.decode_first_stage(x_dec)
+        want = torch.clamp((dec + 1.0) / 2.0, min=0.0, max=1.0).numpy()
+
+    fn = make_img2img_fn(pipe, num_steps=S, strength=T_ENC / S,
+                         guidance_scale=SCALE, image_size=IMG)
+    nhwc = lambda a: jnp.asarray(a.transpose(0, 2, 3, 1))
+    imgs = fn(s["frozen_models"], mstate, jnp.asarray(basis),
+              jnp.zeros((B, IMG, IMG, 3), jnp.float32), None,
+              jnp.asarray(s["tok"](prompts)), jnp.asarray(s["tok"]([""] * B)),
+              jnp.asarray(ids), jnp.asarray(num_ids), jax.random.key(0),
+              override_z0=nhwc(z0), override_noise=nhwc(enc_noise))
+    got = (np.asarray(imgs).transpose(0, 3, 1, 2) + 1.0) / 2.0
+
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_full_trajectory_ti_training_parity(stacks):
+    """Full-trajectory TI train oracle: the reference's baseline
+    ``EmbeddingManager`` (embedding_manager.py:38-187, the upstream
+    textual-inversion manager, num_vectors_per_token=1 simple replacement)
+    inside the same tiny LatentDiffusion, trained K steps with the shipped
+    ``configure_optimizers`` AdamW (torch default weight decay 1e-2) vs K
+    steps of our ``cli/train_ti.make_ti_train_step`` + the shared
+    ``make_optimizer`` — per-step losses and the final learned vector must
+    agree.  (Caught the TI CLI's bare ``optax.adamw`` default-decay 1e-4
+    divergence.)"""
+    from celebbasis_tpu.cli.train_ti import make_ti_train_step
+    from celebbasis_tpu.core import textual_inversion as ti
+    from celebbasis_tpu.models.clip_text import CLIPTextEncoder
+
+    s = stacks
+    base = s["ref"]
+    pipe = s["pipe"]
+    rng = np.random.default_rng(77)
+    K_TI = 8
+
+    torch.manual_seed(5)
+    ref = _tiny_ref_model(personalization=omegaconf.OmegaConf.create({
+        "target": "ldm.modules.embedding_manager.EmbeddingManager",
+        "params": {"placeholder_strings": ["sks"],
+                   "initializer_words": ["face"],
+                   "num_vectors_per_token": 1}}))
+    ref.learning_rate = LR
+    mp = s["mp"]
+    mp.setattr(type(ref), "log_dict", lambda self, *a, **k: None,
+               raising=False)
+    mp.setattr(type(ref), "log", lambda self, *a, **k: None, raising=False)
+    # share the frozen stacks with the already-bridged weights
+    ref.model.load_state_dict(base.model.state_dict())
+    ref.first_stage_model.load_state_dict(base.first_stage_model.state_dict())
+    ref.cond_stage_model.transformer.load_state_dict(
+        base.cond_stage_model.transformer.state_dict())
+    ref.train()
+
+    # identical TI vector seed on both sides
+    v0 = rng.standard_normal((1, TOKEN_DIM)).astype(np.float32)
+    with torch.no_grad():
+        ref.embedding_manager.string_to_param_dict["sks"].data = \
+            torch.from_numpy(v0.copy())
+    ti_cfg = ti.TIConfig(placeholder_strings=("sks",),
+                         num_vectors_per_token=1, token_dim=TOKEN_DIM)
+    ph_id = int(s["tok"](["sks"])[0, 1])
+    assert ph_id == int(ref.embedding_manager.string_to_token_dict["sks"])
+    params = jnp.asarray(v0[None])                      # (P=1, V=1, D)
+
+    opt_ref = ref.configure_optimizers()
+    assert isinstance(opt_ref, torch.optim.AdamW)
+    assert opt_ref.param_groups[0]["weight_decay"] == pytest.approx(1e-2)
+
+    optimizer = tstep.make_optimizer(LR)
+    opt_state = optimizer.init(params)
+    step_fn = make_ti_train_step(pipe, ti_cfg, jnp.asarray([ph_id]),
+                                 optimizer)
+
+    prompts = ["a photo of sks person"] * B
+    tokens = s["tok"](prompts)
+    faces = rng.uniform(-1, 1, (B, FACE, FACE, 6)).astype(np.float32)
+
+    rec = _RngRecorder(mp)
+    ref_losses, our_losses = [], []
+    for it in range(K_TI):
+        images = rng.uniform(-1, 1, (B, IMG, IMG, 3)).astype(np.float32)
+        ref_batch = {
+            "image": torch.from_numpy(images.copy()),
+            "caption": prompts,
+            "image_ori": {
+                "faces": torch.from_numpy(faces.copy()),
+                "ids": torch.zeros((B, 2), dtype=torch.long),
+                "num_ids": torch.ones((B,), dtype=torch.long)},
+        }
+        rec.clear()
+        torch.manual_seed(2000 + it)
+        loss_ref = ref.training_step(ref_batch, it)
+        opt_ref.zero_grad()
+        loss_ref.backward()
+        opt_ref.step()
+        assert len(rec.randn) == 1 and len(rec.randint) == 1 \
+            and len(rec.randn_like) == 1
+        batch = {
+            "image": jnp.asarray(images),
+            "tokens": jnp.asarray(tokens),
+            "override_znoise": jnp.asarray(
+                rec.randn[0].numpy().transpose(0, 2, 3, 1)),
+            "override_t": jnp.asarray(
+                rec.randint[0].numpy().astype(np.int32)),
+            "override_noise": jnp.asarray(
+                rec.randn_like[0].numpy().transpose(0, 2, 3, 1)),
+        }
+        params, opt_state, logs = step_fn(params, opt_state,
+                                          s["frozen_models"], batch,
+                                          jax.random.key(it))
+        ref_losses.append(float(loss_ref))
+        our_losses.append(float(logs["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, atol=2e-3, rtol=2e-3,
+                               err_msg=f"TI loss trajectories diverged:\n"
+                                       f"ours={our_losses}\nref ={ref_losses}")
+    want = ref.embedding_manager.string_to_param_dict["sks"] \
+        .detach().numpy()
+    np.testing.assert_allclose(np.asarray(params)[0], want, atol=2e-4,
+                               rtol=2e-4)
+    assert not np.allclose(np.asarray(params)[0], v0)   # actually trained
