@@ -54,9 +54,15 @@ def make_legacy_trainer(ldm: LegacyLDM, cfg: Dict,
         from celebbasis_tpu.train.lr_schedule import lambda_linear_traceable
         p = dict(sched_cfg.get("params", {}) or {})
         p.pop("verbosity_interval", None)
-        tx = optax.adamw(lambda_linear_traceable(lr, **p))
+        # weight_decay 1e-2 = torch AdamW's default: the intended
+        # `torch.optim.AdamW(params, lr=lr)` semantics.  (In this reference
+        # copy the no-manager `opt =` line sits mis-indented under
+        # `if self.learn_logvar:` (ddpm.py:1457-1464) so the branch crashes
+        # as shipped — the original ldm repo's working line is the target.)
+        tx = optax.adamw(lambda_linear_traceable(lr, **p),
+                         weight_decay=1e-2)
     else:
-        tx = optax.adamw(lr)
+        tx = optax.adamw(lr, weight_decay=1e-2)
     cond_trainable = bool(mp.get("cond_stage_trainable", False)) \
         and ldm.cond_kind != "uncond"
 

@@ -226,11 +226,16 @@ class LegacyLDM:
                           linear_start=self.linear_start,
                           linear_end=self.linear_end))
 
-        def loss_fn(unet_params, params, z, ctx, rng):
+        def loss_fn(unet_params, params, z, ctx, rng, override_t=None,
+                    override_noise=None):
+            # override_t / override_noise: deterministic draws for the
+            # composed trajectory oracle (same contract as train/step.py)
             kt, kn = jax.random.split(rng)
             B = z.shape[0]
-            t = jax.random.randint(kt, (B,), 0, self.timesteps)
-            noise = jax.random.normal(kn, z.shape)
+            t = (jax.random.randint(kt, (B,), 0, self.timesteps)
+                 if override_t is None else override_t)
+            noise = (jax.random.normal(kn, z.shape)
+                     if override_noise is None else override_noise)
             x_t = q_sample(sched, z, t, noise)
             if self.cond_mode == "concat" and ctx is not None:
                 eps = self.unet.apply(
@@ -243,9 +248,11 @@ class LegacyLDM:
                 return jnp.mean(jnp.abs(eps - noise))
             return jnp.mean((eps - noise) ** 2)
 
-        def step(params, opt_state, batch_z, ctx, rng):
+        def step(params, opt_state, batch_z, ctx, rng, override_t=None,
+                 override_noise=None):
             loss, grads = jax.value_and_grad(loss_fn)(
-                params["unet"], params, batch_z, ctx, rng)
+                params["unet"], params, batch_z, ctx, rng, override_t,
+                override_noise)
             updates, opt_state = optimizer.update(grads, opt_state,
                                                   params["unet"])
             import optax

@@ -825,3 +825,105 @@ def test_composed_legacy_ddim_cfg_parity():
                       x_T=jnp.asarray(x_T.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
                                want.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_legacy_train_trajectory_oracle():
+    """K-step legacy train trajectory oracle: torch autograd + SGD over the
+    reference UNet strict-loaded from OUR exported weights vs our jitted
+    ``make_train_step`` — identical z/t/noise streams; per-step losses and
+    the full final state_dict must agree tightly.
+
+    Design notes:
+    * The loss is the p_losses eps-MSE at default l_simple_weight=1 /
+      elbo_weight=0 / logvar=0 (ddpm.py:1030-1076).  The reference's own
+      no-manager ``configure_optimizers`` branch is unreachable as shipped
+      (its ``opt =`` line sits mis-indented under ``if self.learn_logvar:``,
+      ddpm.py:1457-1464 — legacy training crashes with UnboundLocalError),
+      so the optimizer here is plain SGD: updates are linear in the
+      gradient, making this a *tight* K-step pin of the full-UNet backward
+      (Adam's first-step update is +-lr*sign(g), which amplifies fp-level
+      noise on near-zero-gradient elements into +-lr divergence — measured:
+      0.06 max param drift at lr 1e-2 — so an exact full-model Adam replay
+      cannot distinguish real bugs from noise).  AdamW semantics incl.
+      torch's 1e-2 default decay are already trajectory-pinned by the
+      W2/TI oracles (test_composed_train_parity), whose small MLP/vector
+      params get well-conditioned gradients.
+    * conv_out is perturbed away from its reference zero-init so every
+      layer receives real gradients from step 0."""
+    import optax
+    import torch.nn.functional as F
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel as RefUNet
+
+    from celebbasis_tpu.diffusion.ddpm import ScheduleArrays
+    from celebbasis_tpu.diffusion.schedules import make_schedule
+    from celebbasis_tpu.legacy import build_legacy_ldm
+    from celebbasis_tpu.utils import bridge
+
+    K, B, LR = 5, 2, 1e-2
+    ldm = build_legacy_ldm(_tiny_legacy_cfg("vq", "uncond"),
+                           dtype=jnp.float32)
+    params = ldm.init_params(jax.random.key(0))
+    k0 = jax.random.normal(
+        jax.random.PRNGKey(9),
+        params["unet"]["params"]["conv_out"]["Conv_0"]["kernel"].shape) * 0.05
+    params["unet"]["params"]["conv_out"]["Conv_0"]["kernel"] = k0
+
+    ref = RefUNet(image_size=16, in_channels=3, out_channels=3,
+                  model_channels=32, attention_resolutions=[2],
+                  num_res_blocks=1, channel_mult=[1, 2],
+                  num_head_channels=8, use_checkpoint=False).train()
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+         bridge.export_unet(jax.device_get(params["unet"]), ldm.unet.cfg,
+                            prefix="").items()}, strict=True)
+
+    sched = ScheduleArrays.from_schedule(
+        make_schedule("linear", 16, linear_start=0.0015, linear_end=0.0195))
+    sqrt_ac = np.asarray(sched.sqrt_alphas_cumprod)
+    sqrt_1mac = np.asarray(sched.sqrt_one_minus_alphas_cumprod)
+
+    opt_ref = torch.optim.SGD(ref.parameters(), lr=LR)
+    tx = optax.sgd(LR)
+    step = jax.jit(ldm.make_train_step(tx))
+    opt_state = tx.init(params["unet"])
+
+    rng = np.random.default_rng(11)
+    ref_losses, our_losses = [], []
+    for it in range(K):
+        z = rng.standard_normal((B, 16, 16, 3)).astype(np.float32)
+        t = rng.integers(0, 16, (B,)).astype(np.int32)
+        noise = rng.standard_normal((B, 16, 16, 3)).astype(np.float32)
+
+        z_t = torch.from_numpy(
+            (sqrt_ac[t][:, None, None, None] * z
+             + sqrt_1mac[t][:, None, None, None] * noise
+             ).transpose(0, 3, 1, 2).copy())
+        eps = ref(z_t, torch.from_numpy(t).long())
+        loss_ref = F.mse_loss(
+            eps, torch.from_numpy(noise.transpose(0, 3, 1, 2).copy()))
+        opt_ref.zero_grad()
+        loss_ref.backward()
+        opt_ref.step()
+
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(z), None, jax.random.key(it),
+            override_t=jnp.asarray(t), override_noise=jnp.asarray(noise))
+        ref_losses.append(float(loss_ref.detach()))
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, ref_losses, atol=2e-5, rtol=2e-5,
+                               err_msg=f"legacy train trajectories diverged:"
+                                       f"\nours={our_losses}"
+                                       f"\nref ={ref_losses}")
+    final = bridge.export_unet(jax.device_get(params["unet"]), ldm.unet.cfg,
+                               prefix="")
+    ref_state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    assert set(final) == set(ref_state)
+    for k in final:
+        np.testing.assert_allclose(final[k], ref_state[k], atol=2e-5,
+                                   rtol=2e-4, err_msg=k)
+    # the trajectory actually trained
+    base = ldm.init_params(jax.random.key(0))
+    assert not np.allclose(
+        np.asarray(params["unet"]["params"]["conv_in"]["kernel"]),
+        np.asarray(base["unet"]["params"]["conv_in"]["kernel"]))
