@@ -17,6 +17,7 @@ batch is one fixed-shape device program regardless of its task mix.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -245,7 +246,12 @@ def gssl_self_train(net_cfg: PIPNetConfig, train_cfg: PIPTrainConfig,
     def train_round(rnd, images, lms, task):
         """Fresh net + optimizer, num_epochs over (images, lms, task)."""
         params = fresh_params(rnd)
-        optimizer = make_optimizer(train_cfg, max(len(images) // bs, 1))
+        # GSSL always optimizes with plain Adam(lr) — no weight decay even
+        # from scratch (train_gssl.py:147,251), unlike lib/train.py:174-176
+        # which adds 5e-4 when not pretrained; force the no-decay branch
+        optimizer = make_optimizer(
+            dataclasses.replace(train_cfg, pretrained=True),
+            max(len(images) // bs, 1))
         opt_state = optimizer.init(params)
         step = make_gssl_train_step(model, optimizer, nb_idx, train_cfg)
         hist = []

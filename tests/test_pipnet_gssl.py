@@ -156,3 +156,30 @@ def test_gssl_self_train_smoke():
     assert all(np.isfinite(v) for r in out["history"] for v in r)
     leaves = jax.tree_util.tree_leaves(out["params"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_gssl_always_plain_adam(monkeypatch):
+    """GSSL optimizes with plain Adam(lr) regardless of cfg.pretrained
+    (train_gssl.py:147,251 never adds weight decay, unlike lib/train.py:174-176
+    which adds 5e-4 when from-scratch).  Pin that every optimizer built inside
+    the curriculum — warmup and per-round — takes the no-decay branch."""
+    seen = []
+    real = pt.make_optimizer
+
+    def spy(cfg, steps_per_epoch):
+        seen.append(cfg.pretrained)
+        return real(cfg, steps_per_epoch)
+
+    monkeypatch.setattr(pg, "make_optimizer", spy)
+    cfg = _tiny_gssl_cfg()
+    tcfg = pt.PIPTrainConfig(num_lms=5, num_nb=2, input_size=128,
+                             net_stride=32, batch_size=4, init_lr=3e-3,
+                             num_epochs=1, decay_steps=(100,),
+                             pretrained=False)   # would add decay in lib/train
+    rng = np.random.default_rng(4)
+    meanface = rng.uniform(0.2, 0.8, (5, 2)).astype(np.float32)
+    lms = rng.uniform(0.1, 0.9, (6, 5, 2)).astype(np.float32)
+    imgs = rng.standard_normal((6, 128, 128, 3)).astype(np.float32)
+    pg.gssl_self_train(cfg, tcfg, meanface, (imgs[:4], lms[:4]), imgs[4:],
+                       task_list=("cls3",), seed=0, verbose=False)
+    assert len(seen) >= 2 and all(seen)  # warmup + round, all no-decay
