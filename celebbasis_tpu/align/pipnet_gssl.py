@@ -206,6 +206,7 @@ def gssl_self_train(net_cfg: PIPNetConfig, train_cfg: PIPTrainConfig,
                     *, task_list: Sequence[str] = ("cls3", "cls2", "std",
                                                    "std", "std"),
                     init_rngs: Optional[Sequence] = None,
+                    augment_fn=None,
                     seed: int = 0, verbose: bool = True) -> Dict:
     """The GSSL curriculum (train_gssl.py:98-268), array-level API.
 
@@ -220,6 +221,15 @@ def gssl_self_train(net_cfg: PIPNetConfig, train_cfg: PIPTrainConfig,
     round, train_gssl.py:241-256); (3) train ``num_epochs`` on labeled
     'std' rows + the pseudo rows.  Returns {'params', 'init_history':
     supervised-warmup epoch losses, 'history': per-round epoch-loss lists}.
+
+    ``augment_fn(round_idx, epoch_idx, lms) -> (images, lms)``: optional
+    per-epoch augmentation hook (the reference's ImageFolder_pip re-draws
+    translate/occlusion/flip/rotate/blur for EVERY row each epoch,
+    data_utils_gssl.py:194-209).  Row order is the documented contract
+    [labeled; unlabeled] (round_idx 0 = warmup, labeled only); ``lms``
+    carries the current pseudo-labels so the hook transforms them with the
+    images.  Pseudo-label *decode* always uses the clean ``unlabeled_images``
+    (the reference estimates on un-augmented crops, train_gssl.py:214-235).
     """
     from celebbasis_tpu.align.pipnet import meanface_indices
 
@@ -256,11 +266,16 @@ def gssl_self_train(net_cfg: PIPNetConfig, train_cfg: PIPTrainConfig,
         step = make_gssl_train_step(model, optimizer, nb_idx, train_cfg)
         hist = []
         for _epoch in range(train_cfg.num_epochs):
+            if augment_fn is not None:
+                ep_images, ep_lms = augment_fn(rnd, _epoch, lms)
+                assert len(ep_images) == len(images)
+            else:
+                ep_images, ep_lms = images, lms
             total, n = 0.0, 0
             for idx in _iter_batches(len(images), bs, host):
                 params, opt_state, loss, _ = step(
-                    params, opt_state, jnp.asarray(images[idx]),
-                    jnp.asarray(lms[idx]), jnp.asarray(task[idx]))
+                    params, opt_state, jnp.asarray(ep_images[idx]),
+                    jnp.asarray(ep_lms[idx]), jnp.asarray(task[idx]))
                 total += float(loss)
                 n += 1
             hist.append(total / max(n, 1))

@@ -48,6 +48,13 @@ WFLW_POINTS_FLIP = (
     66, 65, 82, 81, 80, 79, 78, 77, 76, 87, 86, 85, 84, 83, 92, 91, 90, 89,
     88, 95, 94, 93, 97, 96)
 
+# 300W/68-point symmetry permutation (train_gssl.py:140-142, 1-based there)
+POINTS_FLIP_68 = (
+    16, 15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0, 26, 25, 24,
+    23, 22, 21, 20, 19, 18, 17, 27, 28, 29, 30, 35, 34, 33, 32, 31, 45, 44,
+    43, 42, 47, 46, 39, 38, 37, 36, 41, 40, 54, 53, 52, 51, 50, 49, 48, 59,
+    58, 57, 56, 55, 64, 63, 62, 61, 60, 67, 66, 65)
+
 @dataclass(frozen=True)
 class PIPTrainConfig:
     """The reference's `Config` (lib/tools.py:19-38) training fields."""

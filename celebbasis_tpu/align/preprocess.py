@@ -38,10 +38,12 @@ def _resize(image: np.ndarray, target_size: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def process_300w_arrays(image: np.ndarray, pts: np.ndarray,
-                        target_size: int) -> Tuple[np.ndarray, List[List[float]]]:
+                        target_size: int,
+                        scale: float = 1.1) -> Tuple[np.ndarray, List[List[float]]]:
     """300W: landmark-tight box expanded 1.1x with the reference's exact
     int-truncation sequence (preprocess.py:6-41).  ``pts`` is the raw (68,2)
-    .pts coordinates (floats; the reference ints them on read)."""
+    .pts coordinates (floats; the reference ints them on read).  The GSSL
+    pipeline uses the same math at scale 1.3 (preprocess_gssl.py:6-41)."""
     anno = [[int(float(x)), int(float(y))] for x, y in pts]
     image_height, image_width = image.shape[:2]
     anno_x = [p[0] for p in anno]
@@ -49,7 +51,6 @@ def process_300w_arrays(image: np.ndarray, pts: np.ndarray,
     bbox_xmin, bbox_ymin = min(anno_x), min(anno_y)
     bbox_width = max(anno_x) - bbox_xmin
     bbox_height = max(anno_y) - bbox_ymin
-    scale = 1.1
     bbox_xmin -= int((scale - 1) / 2 * bbox_width)
     bbox_ymin -= int((scale - 1) / 2 * bbox_height)
     bbox_width = int(bbox_width * scale)
@@ -89,9 +90,13 @@ def process_cofw_arrays(image: np.ndarray, bbox: np.ndarray,
 
 def process_wflw_arrays(image: np.ndarray, lms196: Sequence[float],
                         bbox: Sequence[float],
-                        target_size: int) -> Tuple[np.ndarray, List[Tuple[float, float]]]:
+                        target_size: int,
+                        drop_top: bool = False) -> Tuple[np.ndarray, List[Tuple[float, float]]]:
     """WFLW: 98 landmarks + (xmin, ymin, xmax, ymax) detector box expanded
-    1.2x (preprocess.py:66-112).  Landmarks are pre-clamped to the image."""
+    1.2x (preprocess.py:66-112).  Landmarks are pre-clamped to the image.
+    ``drop_top``: the GSSL variant (preprocess_gssl.py:43-89) *raises* the
+    top edge by the same margin instead of expanding it ("remove a part of
+    top area for alignment"), like its CELEBA crop."""
     image_height, image_width = image.shape[:2]
     lms = [float(x) for x in lms196]
     lms_x = [min(max(x, 0), image_width) for x in lms[0::2]]
@@ -102,7 +107,10 @@ def process_wflw_arrays(image: np.ndarray, lms196: Sequence[float],
     height = bbox_ymax - bbox_ymin
     scale = 1.2
     bbox_xmin -= width * (scale - 1) / 2
-    bbox_ymin -= height * (scale - 1) / 2
+    if drop_top:
+        bbox_ymin += height * (scale - 1) / 2
+    else:
+        bbox_ymin -= height * (scale - 1) / 2
     bbox_xmax += width * (scale - 1) / 2
     bbox_ymax += height * (scale - 1) / 2
     bbox_xmin = max(bbox_xmin, 0)
@@ -402,3 +410,297 @@ def gen_data(root_folder: str, data_name: str, target_size: int = 256,
     else:
         raise ValueError(f"unknown dataset {data_name!r}; expected one of "
                          "data_300W, COFW, WFLW, AFLW")
+
+
+# ---------------------------------------------------------------------------
+# GSSL data preparation (lib/preprocess_gssl.py:1-544)
+#
+# The reference's semi-supervised curriculum (train_gssl.py / our
+# align/pipnet_gssl.py) trains on mixed labeled+unlabeled sets prepared by
+# preprocess_gssl.py: 300W crops at scale 1.3, unlabeled CelebA crops, COFW
+# re-annotated to 68 points, and WFLW remapped 98->68 — written under the
+# composite task layouts ``data_300W_CELEBA`` / ``data_300W_COFW_WFLW``.
+# ---------------------------------------------------------------------------
+
+def process_celeba_arrays(image: np.ndarray, bbox: Sequence[float],
+                          target_size: int) -> np.ndarray:
+    """CELEBA unlabeled crop (preprocess_gssl.py:91-109): detector box
+    expanded 1.2x, except the top edge which is *dropped* by
+    (scale+0.1-1)/2 of the height ("remove a part of top area for
+    alignment").  No landmarks — the crop is the whole label."""
+    image_height, image_width = image.shape[:2]
+    xmin, ymin, xmax, ymax = [float(v) for v in bbox[:4]]
+    width = xmax - xmin + 1
+    height = ymax - ymin + 1
+    scale = 1.2
+    xmin -= width * (scale - 1) / 2
+    ymin += height * (scale + 0.1 - 1) / 2
+    xmax += width * (scale - 1) / 2
+    ymax += height * (scale - 1) / 2
+    xmin = max(xmin, 0)
+    ymin = max(ymin, 0)
+    xmax = min(xmax, image_width - 1)
+    ymax = min(ymax, image_height - 1)
+    crop = image[int(ymin):int(ymax), int(xmin):int(xmax), :]
+    return _resize(crop, target_size)
+
+
+def _cofw68_crop(image: np.ndarray, bbox: Sequence[float],
+                 anno_x: np.ndarray, anno_y: np.ndarray,
+                 target_size: int) -> Tuple[np.ndarray, List[List[float]]]:
+    """Shared COFW-68 geometry (preprocess_gssl.py:111-161): the given
+    (xmin, ymin, w, h) box expanded 1.3x — unlike the supervised COFW path,
+    which uses the raw box."""
+    image_height, image_width = image.shape[:2]
+    xmin, ymin, width, height = [float(v) for v in bbox[:4]]
+    xmax = xmin + width - 1
+    ymax = ymin + height - 1
+    scale = 1.3
+    xmin -= width * (scale - 1) / 2
+    ymin -= height * (scale - 1) / 2
+    xmax += width * (scale - 1) / 2
+    ymax += height * (scale - 1) / 2
+    xmin = max(xmin, 0)
+    ymin = max(ymin, 0)
+    xmax = min(xmax, image_width - 1)
+    ymax = min(ymax, image_height - 1)
+    ax = (np.asarray(anno_x, np.float64) - xmin) / (xmax - xmin)
+    ay = (np.asarray(anno_y, np.float64) - ymin) / (ymax - ymin)
+    out = [[float(x), float(y)] for x, y in zip(ax, ay)]
+    crop = image[int(ymin):int(ymax), int(xmin):int(xmax), :]
+    return _resize(crop, target_size), out
+
+
+def process_cofw68_train_arrays(image: np.ndarray, bbox: Sequence[float],
+                                phis: np.ndarray, target_size: int):
+    """COFW train rows stay 29-landmark phis (x29|y29|occlusion29); in the
+    GSSL layouts the train split is *unlabeled*, so only the crop is kept
+    (preprocess_gssl.py:111-134)."""
+    phis = np.asarray(phis, np.float64).ravel()
+    return _cofw68_crop(image, bbox, phis[:29], phis[29:58], target_size)
+
+
+def process_cofw68_test_arrays(image: np.ndarray, bbox: Sequence[float],
+                               pts68: np.ndarray, target_size: int):
+    """COFW test re-annotated to 68 points — per-image ``<i>_points.mat``
+    'Points' arrays (preprocess_gssl.py:136-161)."""
+    p = np.asarray(pts68, np.float64)
+    return _cofw68_crop(image, bbox, p[:, 0].ravel(), p[:, 1].ravel(),
+                        target_size)
+
+
+def convert_wflw_gssl(root_folder: str, data_name: str) -> None:
+    """GSSL convert_wflw (preprocess_gssl.py:176-250): rewrite
+    ``<root>/<data_name>/test_WFLW_98.txt`` (normalized 98-landmark rows)
+    into 68-landmark ``test_WFLW.txt`` — same remap as the supervised
+    ``wflw98_to_68``."""
+    ddir = os.path.join(root_folder, data_name)
+    with open(os.path.join(ddir, "test_WFLW_98.txt")) as f:
+        rows = [x.strip().split() for x in f.readlines() if x.strip()]
+    out_rows = []
+    for row in rows:
+        pts = np.asarray([float(v) for v in row[1:]]).reshape(-1, 2)
+        assert pts.shape[0] == 98, f"expected 98 landmarks, got {pts.shape}"
+        out = wflw98_to_68(pts)
+        out_rows.append(row[0] + " " + " ".join(_fmt(v)
+                                                for v in out.flatten()))
+    with open(os.path.join(ddir, "test_WFLW.txt"), "w") as f:
+        f.write("\n".join(out_rows) + "\n")
+
+
+def gen_meanface_gssl(root_folder: str, data_name: str) -> np.ndarray:
+    """GSSL meanface comes from the labeled 300W rows only
+    (preprocess_gssl.py:163-174: train_300W.txt)."""
+    with open(os.path.join(root_folder, data_name, "train_300W.txt")) as f:
+        meanface = meanface_from_rows(f.readlines())
+    with open(os.path.join(root_folder, data_name, "meanface.txt"),
+              "w") as f:
+        f.write(" ".join(str(x) for x in meanface.tolist()))
+    return meanface
+
+
+def _mat_image_to_bgr(image: np.ndarray) -> np.ndarray:
+    """COFW .mat cell image -> BGR like cv2.imread (grayscale repeated,
+    RGB reversed) — preprocess_gssl.py:337-343."""
+    image = np.asarray(image)
+    if image.ndim == 2:
+        return np.repeat(image[:, :, None], 3, axis=2)
+    return image[:, :, ::-1]
+
+
+def _gen_300w_gssl(root_folder: str, ddir: str, target_size: int, say):
+    """Labeled 300W train + test at GSSL scale 1.3
+    (preprocess_gssl.py:287-325): crops into images_train /
+    images_test_300W, rows into train_300W.txt / test_300W.txt."""
+    import cv2
+    for split, folders, img_dir in (
+            ("train", ["afw", "helen/trainset", "lfpw/trainset"],
+             "images_train"),
+            ("test", ["helen/testset", "lfpw/testset", "ibug"],
+             "images_test_300W")):
+        rows: Dict[str, list] = {}
+        for folder in folders:
+            fdir = os.path.join(root_folder, "data_300W", folder)
+            files = sorted(os.listdir(fdir))
+            imgs = [x for x in files if ".pts" not in x]
+            lbls = [x for x in files if ".pts" in x]
+            assert len(imgs) == len(lbls)
+            for image_name, label_name in zip(imgs, lbls):
+                say(image_name)
+                image = cv2.imread(os.path.join(fdir, image_name))
+                crop, anno = process_300w_arrays(
+                    image, _read_pts(os.path.join(fdir, label_name)),
+                    target_size, scale=1.3)
+                crop_name = folder.replace("/", "_") + "_" + image_name
+                cv2.imwrite(os.path.join(ddir, img_dir, crop_name), crop)
+                rows[crop_name] = anno
+        _write_rows(os.path.join(ddir, f"{split}_300W.txt"), rows)
+
+
+def _gen_cofw68_test(root_folder: str, ddir: str, target_size: int, say):
+    """COFW-68 test split (preprocess_gssl.py:327-355): images from
+    ``<root>/COFW/COFW_test_color.mat``, boxes from
+    ``<ddir>/cofw68_test_bboxes.mat``, per-image 68-point annotations from
+    ``<ddir>/cofw68_test_annotations/<i>_points.mat``."""
+    import cv2
+    mat = _load_mat(os.path.join(root_folder, "COFW",
+                                 "COFW_test_color.mat"))
+    images = mat["IsT"]
+    bboxes = _load_mat(os.path.join(ddir,
+                                    "cofw68_test_bboxes.mat"))["bboxes"]
+    rows: Dict[str, list] = {}
+    for i in range(images.shape[0]):
+        image = _mat_image_to_bgr(images[i, 0])
+        anno = _load_mat(os.path.join(
+            ddir, "cofw68_test_annotations",
+            f"{i + 1}_points.mat"))["Points"]
+        crop, anno = process_cofw68_test_arrays(
+            image, np.asarray(bboxes[i]).ravel(), np.asarray(anno),
+            target_size)
+        crop_name = f"cofw_test_{i + 1:04d}.jpg"
+        say(crop_name)
+        cv2.imwrite(os.path.join(ddir, "images_test_COFW", crop_name), crop)
+        rows[crop_name] = anno
+    _write_rows(os.path.join(ddir, "test_COFW.txt"), rows)
+
+
+def _gen_wflw_gssl_split(root_folder: str, ddir: str, split: str,
+                         target_size: int, say, labeled: bool):
+    """WFLW split for the GSSL layouts (preprocess_gssl.py:356-379,
+    486-528): test rows keep their normalized 98-point labels in
+    test_WFLW_98.txt; train rows are unlabeled name lists."""
+    import cv2
+    list_name = f"list_98pt_rect_attr_{split}.txt"
+    with open(os.path.join(root_folder, "WFLW", "WFLW_annotations",
+                           "list_98pt_rect_attr_train_test",
+                           list_name)) as f:
+        anno_rows = [x.strip().split() for x in f.readlines() if x.strip()]
+    img_dir = "images_test_WFLW" if labeled else "images_train"
+    out_rows: Dict[str, list] = {}
+    names: List[str] = []
+    for count, row in enumerate(anno_rows, 1):
+        image = cv2.imread(os.path.join(root_folder, "WFLW", "WFLW_images",
+                                        row[-1]))
+        crop, anno = process_wflw_arrays(
+            image, row[:196], [float(v) for v in row[196:200]], target_size,
+            drop_top=True)
+        crop_name = f"wflw_{split}_{count:04d}.jpg"
+        say(crop_name)
+        cv2.imwrite(os.path.join(ddir, img_dir, crop_name), crop)
+        out_rows[crop_name] = anno
+        names.append(crop_name)
+    if labeled:
+        _write_rows(os.path.join(ddir, "test_WFLW_98.txt"), out_rows)
+    else:
+        with open(os.path.join(ddir, "train_WFLW.txt"), "w") as f:
+            f.write("\n".join(names) + "\n")
+
+
+def gen_data_gssl(root_folder: str, data_name: str, target_size: int = 256,
+                  verbose: bool = False) -> None:
+    """GSSL dataset drivers (gen_data, preprocess_gssl.py:251-531).
+
+    data_name:
+      CELEBA               unlabeled crops from celeba_bboxes.txt ->
+                           images_train/ + train.txt (names only)
+      data_300W_CELEBA     labeled 300W (scale 1.3) + the CELEBA crops as
+                           the unlabeled pool; 300W/COFW-68/WFLW-68 test
+                           splits; meanface from train_300W.txt
+      data_300W_COFW_WFLW  labeled 300W + unlabeled COFW/WFLW train crops;
+                           same three test splits
+    """
+    import shutil
+
+    import cv2
+
+    ddir = os.path.join(root_folder, data_name)
+    os.makedirs(os.path.join(ddir, "images_train"), exist_ok=True)
+    say = print if verbose else (lambda *a: None)
+
+    if data_name == "CELEBA":
+        with open(os.path.join(ddir, "celeba_bboxes.txt")) as f:
+            bboxes = [x.strip().split() for x in f.readlines() if x.strip()]
+        with open(os.path.join(ddir, "train.txt"), "w") as f:
+            for row in bboxes:
+                image_name = row[0]
+                say(image_name)
+                f.write(image_name + "\n")
+                image = cv2.imread(os.path.join(ddir, "img_celeba",
+                                                image_name))
+                crop = process_celeba_arrays(
+                    image, [int(x) for x in row[1:5]], target_size)
+                cv2.imwrite(os.path.join(ddir, "images_train", image_name),
+                            crop)
+        return
+
+    if data_name not in ("data_300W_CELEBA", "data_300W_COFW_WFLW"):
+        raise ValueError(f"unknown GSSL dataset {data_name!r}; expected "
+                         "CELEBA, data_300W_CELEBA, or data_300W_COFW_WFLW")
+
+    for sub in ("images_test_300W", "images_test_COFW", "images_test_WFLW"):
+        os.makedirs(os.path.join(ddir, sub), exist_ok=True)
+
+    if data_name == "data_300W_CELEBA":
+        # The CELEBA crops become the unlabeled pool
+        # (preprocess_gssl.py:276-279: ``cp -r .../CELEBA/images_train
+        # .../data_300W_CELEBA/.`` + train.txt -> train_CELEBA.txt).  The
+        # destination images_train/ already exists (pre-created above, as in
+        # the reference), so cp merges the crops flat into it — which this
+        # copy loop reproduces (pinned in test_preprocess_gssl's e2e).
+        cdir = os.path.join(root_folder, "CELEBA")
+        for name in sorted(os.listdir(os.path.join(cdir, "images_train"))):
+            dst = os.path.join(ddir, "images_train", name)
+            if not os.path.exists(dst):
+                shutil.copy(os.path.join(cdir, "images_train", name), dst)
+        shutil.copy(os.path.join(cdir, "train.txt"),
+                    os.path.join(ddir, "train_CELEBA.txt"))
+
+    _gen_300w_gssl(root_folder, ddir, target_size, say)
+
+    if data_name == "data_300W_COFW_WFLW":
+        # unlabeled COFW train crops (preprocess_gssl.py:436-466)
+        mat = _load_mat(os.path.join(root_folder, "COFW",
+                                     "COFW_train_color.mat"))
+        images, bboxes, annos = mat["IsTr"], mat["bboxesTr"], mat["phisTr"]
+        with open(os.path.join(ddir, "train_COFW.txt"), "w") as f:
+            for i in range(images.shape[0]):
+                image = _mat_image_to_bgr(images[i, 0])
+                crop, _ = process_cofw68_train_arrays(
+                    image, np.asarray(bboxes[i]).ravel(),
+                    np.asarray(annos[i]).ravel(), target_size)
+                crop_name = f"cofw_train_{i + 1:04d}.jpg"
+                say(crop_name)
+                f.write(crop_name + "\n")
+                cv2.imwrite(os.path.join(ddir, "images_train", crop_name),
+                            crop)
+
+    _gen_cofw68_test(root_folder, ddir, target_size, say)
+
+    if data_name == "data_300W_COFW_WFLW":
+        _gen_wflw_gssl_split(root_folder, ddir, "train", target_size, say,
+                             labeled=False)
+    _gen_wflw_gssl_split(root_folder, ddir, "test", target_size, say,
+                         labeled=True)
+
+    convert_wflw_gssl(root_folder, data_name)
+    gen_meanface_gssl(root_folder, data_name)

@@ -29,6 +29,17 @@ _LANE = 128
 _NEG_INF = -1e30
 
 
+def _env_int(name: str, default: int) -> int:
+    """Sweep knob: read an int override from the environment at trace time.
+
+    Used by ``scripts/sweep_flash_bwd.py`` to A/B backward block caps on the
+    real train step without code edits; unset → the measured defaults.
+    """
+    import os
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -251,8 +262,13 @@ def _flash_bwd_rule(block_q, block_k, res, g):
     # Re-derive geometry with the backward's own caps; padding (mp, np_)
     # stays consistent with the saved fwd residuals because mp from
     # _geometry is ceil(M, bk) and 512 | 4096 (and bq caps only shrink
-    # the q-grid tile, not np_).
-    block_q, block_k = min(block_q, 256), min(block_k, 512)
+    # the q-grid tile, not np_).  Caps are env-tunable for sweeps
+    # (scripts/sweep_flash_bwd.py); 512/1024 won the r4 end-to-end sweep on
+    # the SD-size train step (101.21 vs 103.65 ms at the old 256/512;
+    # 256/2048 OOMs VMEM — the caps are still load-bearing).
+    bq_cap = _env_int("CELEBBASIS_FLASH_BWD_BQ", 512)
+    bk_cap = _env_int("CELEBBASIS_FLASH_BWD_BK", 1024)
+    block_q, block_k = min(block_q, bq_cap), min(block_k, bk_cap)
     dp, bq, bk, mp, np_ = _geometry(N, M, D, block_q, block_k)
     BH = B * H
 

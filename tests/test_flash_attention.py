@@ -101,3 +101,25 @@ def test_attention_wrapper_routes_big_shapes():
     ref = att._xla_attention(qh, qh, qh, None)[:, 0]
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=1e-6)
+
+
+def test_bwd_env_caps_override_preserves_grads(monkeypatch):
+    """CELEBBASIS_FLASH_BWD_BQ/BK (the r4 sweep knobs) only re-tile the
+    backward kernels — gradients must be unchanged for any power-of-two cap.
+    Caps of 32/32 at a 128-token shape genuinely shrink the tiles (defaults
+    would keep 128), so this exercises the re-derived backward geometry."""
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((1, 2, 128, 40)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 128, 40)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 128, 40)), jnp.float32)
+
+    def loss(q, k, v):
+        return (fa.flash_attention(q, k, v, block_q=128, block_k=128) ** 2).sum()
+
+    base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("CELEBBASIS_FLASH_BWD_BQ", "32")
+    monkeypatch.setenv("CELEBBASIS_FLASH_BWD_BK", "32")
+    capped = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(base, capped):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
