@@ -33,8 +33,11 @@ from celebbasis_tpu.models.vae import Decoder, Encoder, VAEConfig
 class VectorQuantizer(nn.Module):
     """Nearest-neighbour codebook quantization with straight-through grads.
 
-    loss = beta * mean((sg(z_q) - z)^2) + mean((z_q - sg(z))^2)   (legacy
-    order, taming VectorQuantizer2 with legacy=True — the reference default).
+    loss = mean((sg(z_q) - z)^2) + beta * mean((z_q - sg(z))^2)   (legacy
+    order, taming VectorQuantizer2 with legacy=True — the reference default:
+    the *codebook* term carries beta, the encoder-commitment term is
+    unweighted; the non-legacy flavor swaps them).  Pinned by the VQ-GAN
+    trajectory oracle in tests/test_ae_train_oracle.py.
     """
     n_embed: int
     embed_dim: int
@@ -59,8 +62,8 @@ class VectorQuantizer(nn.Module):
              + jnp.sum(emb ** 2, axis=1)[None, :])
         idx = jnp.argmin(d, axis=1)
         z_q = jnp.take(emb, idx, axis=0).reshape(z.shape)
-        loss = (self.beta * jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2)
-                + jnp.mean((z_q - jax.lax.stop_gradient(z)) ** 2))
+        loss = (jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2)
+                + self.beta * jnp.mean((z_q - jax.lax.stop_gradient(z)) ** 2))
         z_q = z + jax.lax.stop_gradient(z_q - z)   # straight-through
         return z_q, loss, idx.reshape(z.shape[:-1])
 

@@ -12,6 +12,14 @@ TPU-first: both passes are single jitted steps; the reference's
 through the decoder's final conv (see ``train/ae_loss.py``); the
 discriminator pass re-runs the forward with the *updated* generator, which
 is exactly what lightning's sequential optimizer stepping does.
+
+Optimizer partition parity quirk: the reference's training_step comment says
+"train encoder+decoder+logvar", but its ``configure_optimizers``
+(autoencoder.py:197-204 KL is analogous at 386-393) puts ONLY
+encoder/decoder/quant convs (+quantize for VQ) in opt_ae — ``loss.logvar``
+is in neither optimizer and stays at logvar_init forever.  We match that
+behavior (pinned by the K-step trajectory oracle in
+tests/test_ae_train_oracle.py).
 """
 from __future__ import annotations
 
@@ -64,16 +72,19 @@ class AETrainer:
     ``loss`` is the matching (VQ)LPIPSWithDiscriminator."""
 
     def __init__(self, model, loss, learning_rate: float,
-                 lr_g_factor: float = 1.0):
+                 lr_g_factor: float = 1.0, tx_g=None, tx_d=None):
         self.model = model
         self.loss = loss
         self.is_vq = isinstance(model, VQModel)
         assert self.is_vq == isinstance(loss, VQLPIPSWithDiscriminator), \
             "VQModel pairs with VQLPIPSWithDiscriminator, KL with LPIPS..."
         # reference configure_optimizers: Adam betas (0.5, 0.9);
-        # VQModel scales the generator lr by lr_g_factor
-        self.tx_g = optax.adam(learning_rate * lr_g_factor, b1=0.5, b2=0.9)
-        self.tx_d = optax.adam(learning_rate, b1=0.5, b2=0.9)
+        # VQModel scales the generator lr by lr_g_factor.  tx_g/tx_d inject
+        # a different optax transform (trajectory oracles use SGD).
+        self.tx_g = tx_g if tx_g is not None else \
+            optax.adam(learning_rate * lr_g_factor, b1=0.5, b2=0.9)
+        self.tx_d = tx_d if tx_d is not None else \
+            optax.adam(learning_rate, b1=0.5, b2=0.9)
         self._gen_step = jax.jit(self._make_gen_step())
         self._disc_step = jax.jit(self._make_disc_step())
 
@@ -88,9 +99,10 @@ class AETrainer:
         lv = self.loss.init(k2, (1, image_size, image_size,
                                  self.loss.cfg.disc_in_channels))
         params = {"ae": ae, "loss": lv}
-        gen = {"ae": ae, "logvar": lv["logvar"]}
+        # opt_ae covers the autoencoder only — NOT loss.logvar
+        # (autoencoder.py:197-204,386-393; see the module docstring)
         return AETrainState(params=params,
-                            opt_g=self.tx_g.init(gen),
+                            opt_g=self.tx_g.init(ae),
                             opt_d=self.tx_d.init(lv["disc"]))
 
     # -- forward ----------------------------------------------------------------
@@ -118,31 +130,27 @@ class AETrainer:
 
     # -- steps ------------------------------------------------------------------
     def _make_gen_step(self) -> Callable:
-        def gen_loss(gen, loss_vars_frozen, x, rng, step):
-            variables = {"lpips": loss_vars_frozen["lpips"],
-                         "disc": loss_vars_frozen["disc"],
-                         "logvar": gen["logvar"]}
-            recons, aux, pullback = self._reconstruct(gen["ae"], x, rng)
+        def gen_loss(ae, loss_vars_frozen, x, rng, step):
+            recons, aux, pullback = self._reconstruct(ae, x, rng)
             if self.is_vq:
                 emb_loss, ind = aux
                 kwargs = dict(predicted_indices=ind) \
                     if self.loss.cfg.n_classes else {}
                 loss, log = self.loss.generator_loss(
-                    variables, x, recons, emb_loss, step, pullback, **kwargs)
+                    loss_vars_frozen, x, recons, emb_loss, step, pullback,
+                    **kwargs)
             else:
                 loss, log = self.loss.generator_loss(
-                    variables, x, recons, aux, step, pullback)
+                    loss_vars_frozen, x, recons, aux, step, pullback)
             return loss, log
 
         def step_fn(params, opt_g, x, rng, step):
-            gen = {"ae": params["ae"], "logvar": params["loss"]["logvar"]}
+            ae = params["ae"]
             (_, log), grads = jax.value_and_grad(gen_loss, has_aux=True)(
-                gen, params["loss"], x, rng, step)
-            updates, opt_g = self.tx_g.update(grads, opt_g, gen)
-            gen = optax.apply_updates(gen, updates)
-            params = {"ae": gen["ae"],
-                      "loss": dict(params["loss"], logvar=gen["logvar"])}
-            return params, opt_g, log
+                ae, params["loss"], x, rng, step)
+            updates, opt_g = self.tx_g.update(grads, opt_g, ae)
+            ae = optax.apply_updates(ae, updates)
+            return {"ae": ae, "loss": params["loss"]}, opt_g, log
         return step_fn
 
     def _make_disc_step(self) -> Callable:

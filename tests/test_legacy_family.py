@@ -509,8 +509,10 @@ def test_ae_trainer_kl_runs_and_updates():
     e1 = state.params["ae"]["params"]["encoder"]["conv_in"]["kernel"]
     assert not np.allclose(np.asarray(d0), np.asarray(d1))
     assert not np.allclose(np.asarray(e0), np.asarray(e1))
-    # logvar is trained with the generator (contperceptual.py logvar param)
-    assert float(state.params["loss"]["logvar"]) != 0.0
+    # logvar is in NEITHER optimizer (autoencoder.py:386-393 puts only the
+    # encoder/decoder/quant convs in opt_ae, despite its "train
+    # encoder+decoder+logvar" comment) — it must stay at logvar_init
+    assert float(state.params["loss"]["logvar"]) == 0.0
 
 
 def test_ae_trainer_vq_runs_with_perplexity():
