@@ -118,18 +118,27 @@ class NoisyLatentClassifier:
         return self.model.apply(params, z_noisy, t)
 
     def _shared(self, params, z, labels, fixed_t: Optional[int],
-                rng: jax.Array) -> Tuple[jax.Array, Dict]:
+                rng: jax.Array, t_override: Optional[jax.Array] = None,
+                noise_override: Optional[jax.Array] = None
+                ) -> Tuple[jax.Array, Dict]:
         """shared_step (classifier.py:179-196): noise to (random|fixed) t,
         classify, CE + top-k.  Segmentation labels are one-hot (B,H,W,K) and
         are argmaxed + nearest-downsampled to the latent grid by the caller
-        (get_conditioning, classifier.py:133-148)."""
+        (get_conditioning, classifier.py:133-148).
+
+        ``t_override``/``noise_override`` substitute the drawn timesteps /
+        q-noise (RNG-shared trajectory oracles feed the reference's torch
+        draws)."""
         kt, kn = jax.random.split(rng)
         B = z.shape[0]
-        if fixed_t is None:
+        if t_override is not None:
+            t = t_override.astype(jnp.int32)
+        elif fixed_t is None:
             t = jax.random.randint(kt, (B,), 0, self.cfg.timesteps)
         else:
             t = jnp.full((B,), fixed_t, jnp.int32)
-        noise = jax.random.normal(kn, z.shape)
+        noise = (noise_override if noise_override is not None
+                 else jax.random.normal(kn, z.shape))
         z_noisy = q_sample(self.sched, z, t, noise)
         logits = self._forward(params, z_noisy, t)
         loss = cross_entropy(logits, labels)
@@ -145,10 +154,12 @@ class NoisyLatentClassifier:
         return jnp.mean(loss), log
 
     def _make_train_step(self):
-        def step(params, opt_state, tx_idx, z, labels, rng):
+        def step(params, opt_state, tx_idx, z, labels, rng, t_override,
+                 noise_override):
             del tx_idx
             (loss, log), grads = jax.value_and_grad(
-                lambda p: self._shared(p, z, labels, None, rng),
+                lambda p: self._shared(p, z, labels, None, rng, t_override,
+                                       noise_override),
                 has_aux=True)(params)
             return loss, log, grads
         return step
@@ -160,9 +171,12 @@ class NoisyLatentClassifier:
                 "step": 0}
 
     def train_step(self, state: Dict, z: jax.Array, labels: jax.Array,
-                   rng: jax.Array) -> Tuple[Dict, Dict]:
+                   rng: jax.Array, t_override: Optional[jax.Array] = None,
+                   noise_override: Optional[jax.Array] = None
+                   ) -> Tuple[Dict, Dict]:
         _, log, grads = self._train_step(state["params"], state["opt"], 0,
-                                         z, labels, rng)
+                                         z, labels, rng, t_override,
+                                         noise_override)
         updates, opt = state["tx"].update(grads, state["opt"],
                                           state["params"])
         params = optax.apply_updates(state["params"], updates)
