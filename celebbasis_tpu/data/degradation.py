@@ -125,17 +125,22 @@ def _resize(img: np.ndarray, w: int, h: int, interp: int) -> np.ndarray:
 
 def add_blur(img: np.ndarray, sf: int, rng: np.random.Generator,
              light: bool = True) -> np.ndarray:
-    """bsrgan_light.py:325-340 (light) / bsrgan.py add_blur (full: wider
-    kernels, no /4 shrink)."""
+    """bsrgan_light.py:325-340 (light) / bsrgan.py:325-336 (full: wider
+    sigmas — no /4 shrink — AND wider odd kernels 2*randint(2,11)+3 in
+    both branches)."""
     wd2, wd = 4.0 + sf, 2.0 + 0.2 * sf
     if light:
         wd2, wd = wd2 / 4, wd / 4
     if rng.random() < 0.5:
+        ksize = (int(rng.integers(2, 12)) + 3 if light
+                 else 2 * int(rng.integers(2, 12)) + 3)
         k = anisotropic_gaussian_kernel(
-            ksize=int(rng.integers(2, 12)) + 3, theta=rng.random() * np.pi,
+            ksize=ksize, theta=rng.random() * np.pi,
             l1=wd2 * rng.random(), l2=wd2 * rng.random())
     else:
-        k = gaussian_kernel(int(rng.integers(2, 5)) + 3, wd * rng.random())
+        ksize = (int(rng.integers(2, 5)) + 3 if light
+                 else 2 * int(rng.integers(2, 12)) + 3)
+        k = gaussian_kernel(ksize, wd * rng.random())
     return blur(img, k, mode="mirror")
 
 
@@ -402,7 +407,7 @@ def degradation_bsrgan_variant(image: np.ndarray, sf: int = 4,
         # the reference coin-flips interpolated cv2.resize vs MATLAB bicubic
         # (bsrgan_light.py:553-559)
         if rng.random() < 0.5:
-            img = _resize(img, int(img.shape[1] / 2), int(img.shape[0] / 2),
+            img = _resize(img, int(1 / 2 * img.shape[1]), int(1 / 2 * img.shape[0]),
                           int(rng.choice(_CV2_INTERP)))
         else:
             img = imresize_np(img, 1 / 2, True)
@@ -426,8 +431,8 @@ def degradation_bsrgan_variant(image: np.ndarray, sf: int = 4,
             a, b = img.shape[1], img.shape[0]
             if rng.random() < 0.8:                        # random rescale
                 sf1 = rng.uniform(1, 2 * sf)
-                img = _resize(img, int(img.shape[1] / sf1),
-                              int(img.shape[0] / sf1),
+                img = _resize(img, int(1 / sf1 * img.shape[1]),
+                              int(1 / sf1 * img.shape[0]),
                               int(rng.choice(_CV2_INTERP)))
             else:                                         # shifted-kernel blur + nearest ds
                 k = gaussian_kernel(25, rng.uniform(0.1, 0.6 * sf))
@@ -436,7 +441,7 @@ def degradation_bsrgan_variant(image: np.ndarray, sf: int = 4,
                 img = img[0::sf, 0::sf, ...]
             img = np.clip(img, 0.0, 1.0)
         elif i == 3:                                      # final downsample
-            img = _resize(img, int(a / sf), int(b / sf),
+            img = _resize(img, int(1 / sf * a), int(1 / sf * b),
                           int(rng.choice(_CV2_INTERP)))
             img = np.clip(img, 0.0, 1.0)
         elif i == 4:
@@ -470,7 +475,7 @@ def degradation_bsrgan(img: np.ndarray, sf: int = 4, lq_patchsize: int = 72,
 
     if sf == 4 and rng.random() < scale2_prob:
         if rng.random() < 0.5:                  # same coin (bsrgan_light.py:465-471)
-            img = _resize(img, int(img.shape[1] / 2), int(img.shape[0] / 2),
+            img = _resize(img, int(1 / 2 * img.shape[1]), int(1 / 2 * img.shape[0]),
                           int(rng.choice(_CV2_INTERP)))
         else:
             img = imresize_np(img, 1 / 2, True)
@@ -490,8 +495,8 @@ def degradation_bsrgan(img: np.ndarray, sf: int = 4, lq_patchsize: int = 72,
             a, b = img.shape[1], img.shape[0]
             if rng.random() < 0.75:
                 sf1 = rng.uniform(1, 2 * sf)
-                img = _resize(img, int(img.shape[1] / sf1),
-                              int(img.shape[0] / sf1),
+                img = _resize(img, int(1 / sf1 * img.shape[1]),
+                              int(1 / sf1 * img.shape[0]),
                               int(rng.choice(_CV2_INTERP)))
             else:
                 k = gaussian_kernel(25, rng.uniform(0.1, 0.6 * sf))
@@ -500,7 +505,7 @@ def degradation_bsrgan(img: np.ndarray, sf: int = 4, lq_patchsize: int = 72,
                 img = img[0::sf, 0::sf, ...]
             img = np.clip(img, 0.0, 1.0)
         elif i == 3:
-            img = _resize(img, int(a / sf), int(b / sf),
+            img = _resize(img, int(1 / sf * a), int(1 / sf * b),
                           int(rng.choice(_CV2_INTERP)))
             img = np.clip(img, 0.0, 1.0)
         elif i == 4:
@@ -566,7 +571,9 @@ def degradation_bsrgan_plus(img: np.ndarray, sf: int = 4,
             img = add_jpeg_noise(img, rng, 30, 95)
         # i in (5, 12): ISP model never provided — skipped like the reference
 
-    img = _resize(img, int(hq.shape[1] / sf), int(hq.shape[0] / sf),
+    # bsrgan.py:692 writes int(1/sf * shape) — float-multiply THEN truncate,
+    # which differs from int(shape/sf) for sf=3 (e.g. 99: 32 vs 33).
+    img = _resize(img, int(1 / sf * hq.shape[1]), int(1 / sf * hq.shape[0]),
                   int(rng.choice(_CV2_INTERP)))
     img = add_jpeg_noise(img, rng, 30, 95)
     return random_crop(img, hq, sf, lq_patchsize, rng=rng)

@@ -54,8 +54,10 @@ class VGG16Features(nn.Module):
 
 
 def _norm_channels(x: jax.Array) -> jax.Array:
-    """unit_normalize along channels (LPIPS normalize_tensor, eps 1e-10)."""
-    return x / jnp.sqrt(jnp.sum(x ** 2, axis=-1, keepdims=True) + 1e-10)
+    """unit_normalize along channels (LPIPS/taming normalize_tensor:
+    x / (sqrt(sum(x^2)) + eps), eps OUTSIDE the sqrt — taming
+    modules/losses/lpips.py semantics)."""
+    return x / (jnp.sqrt(jnp.sum(x ** 2, axis=-1, keepdims=True)) + 1e-10)
 
 
 class LPIPS(nn.Module):

@@ -136,8 +136,9 @@ class LPIPS(nn.Module):
         val = 0
         for lin, a, b in zip(lins, self._taps((input - shift) / scale),
                              self._taps((target - shift) / scale)):
-            na = a / torch.sqrt(torch.sum(a ** 2, 1, keepdim=True) + 1e-10)
-            nb = b / torch.sqrt(torch.sum(b ** 2, 1, keepdim=True) + 1e-10)
+            # real taming normalize_tensor: eps OUTSIDE the sqrt
+            na = a / (torch.sqrt(torch.sum(a ** 2, 1, keepdim=True)) + 1e-10)
+            nb = b / (torch.sqrt(torch.sum(b ** 2, 1, keepdim=True)) + 1e-10)
             d = (na - nb) ** 2
             val = val + lin.model(d).mean((2, 3), keepdim=True)
         return val

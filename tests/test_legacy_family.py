@@ -179,8 +179,9 @@ def test_convert_vgg16_and_lpips_parity():
     with torch.no_grad():
         total = 0
         for w, a, b in zip(lin_w, taps(x), taps(y)):
-            na = a / (a.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
-            nb = b / (b.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
+            # taming normalize_tensor: eps outside the sqrt
+            na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
             d = (na - nb) ** 2
             total = total + (d * torch.from_numpy(w).view(1, -1, 1, 1)) \
                 .sum(1, keepdim=True).mean((2, 3), keepdim=True)
