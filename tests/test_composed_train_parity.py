@@ -50,6 +50,8 @@ from celebbasis_tpu.text.tokenizer import CLIPTokenizer  # noqa: E402
 from celebbasis_tpu.train import step as tstep  # noqa: E402
 from celebbasis_tpu.utils import bridge  # noqa: E402
 
+from _oracle_helpers import built_tiny_basis  # noqa: E402
+
 TOKEN_DIM = 64
 INNER = 8
 NUM_ES = 2
@@ -247,8 +249,15 @@ def stacks():
                             "bias": jnp.asarray(sv.bias.detach().numpy())}},
     }}
 
+    # basis from the SHIPPED builder on the tiny token table (the W1 oracle
+    # in test_composed_basis_parity.py pins this builder to the reference's
+    # own _get_celeb_embeddings); shared into both stacks — see
+    # _oracle_helpers for why sharing is the sound closure under SVD sign
+    # freedom.
+    built_basis = built_tiny_basis(ours_tok, tiny_clip, INNER, NUM_ES)
+
     yield dict(tok=ours_tok, ref=ref, pipe=pipe, meta=meta,
-               meta_params=meta_params,
+               meta_params=meta_params, basis=built_basis,
                frozen_models={"unet": unet_params, "vae": vae_params,
                               "clip": clip_params}, mp=mp)
     mp.undo()
@@ -268,8 +277,7 @@ def test_full_trajectory_training_parity(stacks):
     ref.embedding_manager.id_coefficients = [torch.from_numpy(coef0[i].copy())
                                              for i in range(MAX_IDS)]
     mstate = mgr.ManagerState(jnp.asarray(emb0), jnp.asarray(coef0))
-    basis = rng.standard_normal((NUM_ES, 1 + INNER, TOKEN_DIM)).astype(
-        np.float32)
+    basis = s["basis"]       # oracle-verified builder output (W1-pinned)
     ref.cond_stage_model.celeb_embeddings = torch.from_numpy(basis.copy())
 
     # reference optimizer: the shipped configure_optimizers (AdamW over the
@@ -390,8 +398,7 @@ def test_composed_w3_generation_parity(stacks):
     ref.embedding_manager.id_coefficients = [torch.from_numpy(coef0[i].copy())
                                              for i in range(MAX_IDS)]
     mstate = mgr.ManagerState(jnp.asarray(emb0), jnp.asarray(coef0))
-    basis = rng.standard_normal((NUM_ES, 1 + INNER, TOKEN_DIM)).astype(
-        np.float32)
+    basis = s["basis"]       # oracle-verified builder output (W1-pinned)
     ref.cond_stage_model.celeb_embeddings = torch.from_numpy(basis.copy())
     ref.eval()
     assert not ref.embedding_manager.training
@@ -453,8 +460,7 @@ def test_composed_w3_plms_parity(stacks):
     ref.embedding_manager.id_coefficients = [torch.from_numpy(coef0[i].copy())
                                              for i in range(MAX_IDS)]
     mstate = mgr.ManagerState(jnp.asarray(emb0), jnp.asarray(coef0))
-    basis = rng.standard_normal((NUM_ES, 1 + INNER, TOKEN_DIM)).astype(
-        np.float32)
+    basis = s["basis"]       # oracle-verified builder output (W1-pinned)
     ref.cond_stage_model.celeb_embeddings = torch.from_numpy(basis.copy())
     ref.eval()
 
@@ -517,8 +523,7 @@ def test_composed_img2img_parity(stacks):
     ref.embedding_manager.id_coefficients = [torch.from_numpy(coef0[i].copy())
                                              for i in range(MAX_IDS)]
     mstate = mgr.ManagerState(jnp.asarray(emb0), jnp.asarray(coef0))
-    basis = rng.standard_normal((NUM_ES, 1 + INNER, TOKEN_DIM)).astype(
-        np.float32)
+    basis = s["basis"]       # oracle-verified builder output (W1-pinned)
     ref.cond_stage_model.celeb_embeddings = torch.from_numpy(basis.copy())
     ref.eval()
 
