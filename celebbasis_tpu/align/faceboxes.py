@@ -213,6 +213,22 @@ def decode_boxes(loc: jnp.ndarray, priors: jnp.ndarray,
     return jnp.concatenate([tl, br], axis=1)
 
 
+def _resize_scale(img: np.ndarray, scale: float) -> np.ndarray:
+    """cv2.resize(img, None, fx=scale, fy=scale) INTER_LINEAR — the exact
+    auto-rescale of faceboxes_detector.py:45-47 (output dims round(d*scale)).
+    PIL fallback when cv2 is absent."""
+    try:
+        import cv2
+        return cv2.resize(img, None, None, fx=scale, fy=scale,
+                          interpolation=cv2.INTER_LINEAR)
+    except ImportError:                               # pragma: no cover
+        from PIL import Image
+        h, w = img.shape[:2]
+        return np.asarray(Image.fromarray(img).resize(
+            (int(round(w * scale)), int(round(h * scale))), Image.BILINEAR),
+            np.uint8)
+
+
 @dataclass
 class Detection:
     score: float
@@ -255,18 +271,19 @@ class FaceBoxesDetector:
         top_scores, top_idx = jax.lax.top_k(scores, k)
         return boxes[top_idx], top_scores
 
-    def detect(self, image_bgr: np.ndarray, im_scale: float | None = None):
-        from PIL import Image
-        h, w = image_bgr.shape[:2]
+    def detect(self, image: np.ndarray, im_scale: float | None = None):
+        """``image`` is the array as the reference driver holds it — BGR in
+        the cv2 demos, raw RGB on the start_align product path (the
+        reference feeds both through unchanged; every shipped driver pins
+        im_scale=1).  im_scale=None auto-rescales >600px images, the
+        faceboxes_detector.py:39-44 capability no shipped driver uses."""
+        h, w = image.shape[:2]
         if im_scale is None:
             im_scale = 600.0 / min(h, w) if min(h, w) > 600 else 1.0
         if im_scale != 1.0:
-            sw, sh = int(round(w * im_scale)), int(round(h * im_scale))
-            img = np.asarray(Image.fromarray(
-                image_bgr.astype(np.uint8)).resize((sw, sh), Image.BILINEAR),
-                np.uint8)
+            img = _resize_scale(image.astype(np.uint8), im_scale)
         else:
-            img = image_bgr.astype(np.uint8)
+            img = image.astype(np.uint8)
         sh, sw = img.shape[:2]
         if (sh, sw) not in self._prior_cache:
             self._prior_cache[(sh, sw)] = jnp.asarray(prior_boxes((sh, sw)))

@@ -31,6 +31,20 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
+def _resize_linear(img: np.ndarray, size: int) -> np.ndarray:
+    """cv2.resize(img, (size, size)) INTER_LINEAR — the exact box-crop
+    resample of the reference chain (tools.py:123).  PIL-BILINEAR fallback
+    when cv2 is absent (PIL area-averages on downscale, so crops can differ
+    from the reference by a few grey levels — cv2 ships in this image)."""
+    try:
+        import cv2
+        return cv2.resize(img, (size, size))
+    except ImportError:                               # pragma: no cover
+        from PIL import Image
+        return np.asarray(Image.fromarray(img).resize(
+            (size, size), Image.BILINEAR), np.uint8)
+
+
 @dataclass(frozen=True)
 class PIPNetConfig:
     num_lms: int = 98
@@ -449,10 +463,19 @@ class PIPNetLandmarker:
         return decode_landmarks(self.net.apply(params, x), self.cfg,
                                 self._ri1, self._ri2)
 
-    def landmarks_for_box(self, image_rgb: np.ndarray, box) -> np.ndarray:
-        """image (H,W,3) uint8 RGB, box = Detection -> (L, 2) pixel coords."""
-        from PIL import Image
-        H, W = image_rgb.shape[:2]
+    def landmarks_for_box(self, image: np.ndarray, box) -> np.ndarray:
+        """image (H,W,3) uint8, box = Detection -> (L, 2) int pixel coords.
+
+        Exact demo_image contract (tools.py:100-157): the image is whatever
+        array the driver holds (cv2-BGR in the demos, PIL-RGB in the
+        start_align product path — the reference feeds both through
+        unchanged); the 1.2x box crop is cv2-resized to input_size and
+        CHANNEL-FLIPPED before the net (tools.py:123-124), so PIPNet always
+        consumes the flip of the driver's array.  Replicated verbatim —
+        including on the RGB product path, where the reference therefore
+        runs the net on BGR — because the crops this produces are the W2
+        training inputs."""
+        H, W = image.shape[:2]
         s = self.det_box_scale
         xmin, ymin = box.xmin, box.ymin
         xmax = xmin + box.width - 1
@@ -465,10 +488,11 @@ class PIPNetLandmarker:
         xmin, ymin = max(xmin, 0), max(ymin, 0)
         xmax, ymax = min(xmax, W - 1), min(ymax, H - 1)
         w, h = xmax - xmin + 1, ymax - ymin + 1
-        crop = image_rgb[ymin:ymax, xmin:xmax]
-        crop = np.asarray(Image.fromarray(crop.astype(np.uint8)).resize(
-            (self.cfg.input_size,) * 2, Image.BILINEAR), np.uint8)
-        lms = np.asarray(self._jit(self.params, jnp.asarray(crop[None])))[0]
+        crop = image[ymin:ymax, xmin:xmax].astype(np.uint8)
+        crop = _resize_linear(crop, self.cfg.input_size)
+        crop = crop[:, :, ::-1]  # tools.py:124 — net sees the flipped crop
+        lms = np.asarray(self._jit(self.params,
+                                   jnp.asarray(np.ascontiguousarray(crop))[None]))[0]
         out = np.empty_like(lms)
         out[:, 0] = (lms[:, 0] * w).astype(int) + xmin
         out[:, 1] = (lms[:, 1] * h).astype(int) + ymin

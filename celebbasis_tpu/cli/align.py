@@ -2,9 +2,10 @@
 ``PIPNet/start_align.py``.
 
 folder of photos -> FaceBoxesV2 detect -> PIPNet 98 landmarks ->
-get_5_from_98 -> FFHQ-template norm_crop (512²) -> saved crops +
-``ffhq.pickle`` (absolute-path list — the W2 dataset contract,
-``alignment/gen_pickle.py``).
+get_5_from_98 -> FFHQ-template norm_crop (256²) -> resize to crop_size ->
+saved crops + ``<out_folder>.pickle`` (path list — the W2 dataset contract,
+``alignment/gen_pickle.py``).  The whole chain is oracle-pinned against
+the reference's own torch code (tests/test_composed_align_parity.py).
 
 Weights: ``--detector_ckpt`` (FaceBoxesV2.pth), ``--pipnet_ckpt``
 (epoch59.pth) and ``--meanface`` are bridged torch files; without them the
@@ -30,10 +31,11 @@ from celebbasis_tpu.align.pipnet import (PIPNet, PIPNetConfig,
 
 
 def gen_pickle_abs(folder: str, out_pickle: str):
-    """Absolute-path list of images (gen_pickle.py parity)."""
-    paths = sorted(
-        p for ext in ("*.jpg", "*.jpeg", "*.png")
-        for p in glob.glob(os.path.join(os.path.abspath(folder), ext)))
+    """Path list of every entry in ``folder`` (gen_pickle.py:7-18 verbatim:
+    sorted os.listdir joined onto the folder as given — the pickle itself
+    lives OUTSIDE the folder, so it never lists itself)."""
+    names = sorted(os.listdir(folder))
+    paths = [os.path.join(folder, n) for n in names]
     with open(out_pickle, "wb") as f:
         pickle.dump(paths, f)
     return paths
@@ -76,20 +78,43 @@ def _init_landmarker(ckpt, meanface_path, seed=0):
 
 
 def _align_one(path: str, out_folder: str, detector, landmarker,
-               crop_size: int, mode: str) -> bool:
+               crop_size: int, mode: str, hires: bool = False) -> bool:
+    """One image through the exact product chain (start_align.py ->
+    FolderAlignCrop._check_lmk_box -> demo_image):
+
+    * the RAW RGB array goes straight into both nets, im_scale pinned to 1
+      (dataloader.py:66, tools.py:98 — the reference never auto-rescales
+      on this path, and its PIPNet therefore sees channel-flipped crops);
+    * first NMS-ordered detection (``lmks[0]``, dataloader.py:68);
+    * norm_crop at a FIXED 256 (dataloader.py:69), PIL-upscaled to
+      crop_size (transforms.Resize, dataloader.py:34), then the
+      ToTensor/Normalize(0.5)/((t+1)*127.5).astype(uint8) round-trip of
+      start_align.py:22-24 replayed in fp32 — it can shift a pixel value
+      down by 1, so it is replicated, not skipped;
+    * saved under the ORIGINAL file name (start_align.py:63).
+
+    ``hires=True`` is our quality extension: norm_crop directly at
+    crop_size (no 256 bottleneck, no round-trip)."""
     rgb = np.asarray(Image.open(path).convert("RGB"))
-    bgr = rgb[:, :, ::-1]                       # uint8 end to end: the
-    dets = detector.detect(bgr)                 # fp32 image uploads were
-    if not dets:                                # the W0 bottleneck (PERF.md)
-        print(f"[align] no face in {path}")
+    dets = detector.detect(rgb, im_scale=1.0)   # uint8 end to end: the
+    if not dets:                                # fp32 image uploads were
+        print(f"[align] no face in {path}")     # the W0 bottleneck (PERF.md)
         return False
-    det = max(dets, key=lambda d: d.score)
+    det = dets[0]
     lmk98 = landmarker.landmarks_for_box(rgb, det)
     lmk5 = get_5_from_98(lmk98)
-    crop = norm_crop(rgb, lmk5, crop_size, mode)   # uint8 in -> uint8 out
-    out = os.path.join(out_folder,
-                       os.path.splitext(os.path.basename(path))[0] + ".jpg")
-    Image.fromarray(crop).save(out)
+    if hires:
+        out_arr = norm_crop(rgb, lmk5, crop_size, mode)
+    else:
+        crop = norm_crop(rgb, lmk5, 256, mode)     # uint8 in -> uint8 out
+        pil = Image.fromarray(crop)
+        if crop_size != 256:
+            pil = pil.resize((crop_size, crop_size), Image.BILINEAR)
+        x = np.asarray(pil, np.float32)
+        t = (x / np.float32(255.0) - np.float32(0.5)) / np.float32(0.5)
+        out_arr = ((t + np.float32(1.0)) * np.float32(127.5)).astype(np.uint8)
+    out = os.path.join(out_folder, os.path.basename(path))
+    Image.fromarray(out_arr).save(out)
     return True
 
 
@@ -99,7 +124,10 @@ def annotate_frame(rgb: np.ndarray, detector, landmarker):
     Returns (annotated PIL image, any_face)."""
     from PIL import ImageDraw
     img = Image.fromarray(np.ascontiguousarray(rgb))
-    dets = detector.detect(rgb[:, :, ::-1])
+    # demo contract: the nets consume the cv2-BGR frame (demo.py:96-98,
+    # im_scale pinned to 1); landmarks_for_box flips the crop internally
+    bgr = np.ascontiguousarray(rgb[:, :, ::-1])
+    dets = detector.detect(bgr, im_scale=1.0)
     draw = ImageDraw.Draw(img)
     H, W = rgb.shape[:2]
     for det in dets:
@@ -111,7 +139,7 @@ def annotate_frame(rgb: np.ndarray, detector, landmarker):
         ymax = min(det.ymin + det.height - 1 + int(det.height * (s - 1) / 2),
                    H - 1)
         draw.rectangle([xmin, ymin, xmax, ymax], outline=(255, 0, 0), width=2)
-        for x, y in landmarker.landmarks_for_box(rgb, det):
+        for x, y in landmarker.landmarks_for_box(bgr, det):
             draw.ellipse([x - 2, y - 2, x + 2, y + 2], fill=(255, 0, 0))
     return img, bool(dets)
 
@@ -185,7 +213,7 @@ def annotate_video(in_path: str, out_path: str, detector, landmarker,
 
 def align_folder(in_folder: str, out_folder: str, detector, landmarker,
                  crop_size: int = 512, mode: str = "ffhq",
-                 workers: int = 4):
+                 workers: int = 4, hires: bool = False):
     """Pipelined W0: ``workers`` threads each run the full per-image chain
     (decode -> detect -> landmark -> crop -> save), so host PIL work and the
     per-call device round-trip latency overlap across images.  The per-image
@@ -198,12 +226,12 @@ def align_folder(in_folder: str, out_folder: str, detector, landmarker,
         for p in glob.glob(os.path.join(in_folder, ext)))
     if workers <= 1:
         return sum(_align_one(p, out_folder, detector, landmarker,
-                              crop_size, mode) for p in images)
+                              crop_size, mode, hires) for p in images)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=workers) as pool:
         oks = list(pool.map(
             lambda p: _align_one(p, out_folder, detector, landmarker,
-                                 crop_size, mode), images))
+                                 crop_size, mode, hires), images))
     return sum(oks)
 
 
@@ -220,6 +248,12 @@ def main(argv=None):
     p.add_argument("--meanface", type=str, default=None)
     p.add_argument("--workers", type=int, default=4,
                    help="pipeline threads (1 = serial reference behavior)")
+    p.add_argument("--out_pickle", type=str, default=None,
+                   help="path list pickle (default: <out_folder>.pickle, "
+                        "start_align.py:66-67)")
+    p.add_argument("--hires_crop", action="store_true",
+                   help="quality extension: norm_crop directly at crop_size "
+                        "instead of the reference's 256-crop + resize chain")
     p.add_argument("--annotate", action="store_true",
                    help="demo mode (lib/demo.py): draw boxes + landmarks "
                         "instead of cropping; no pickle is written")
@@ -251,9 +285,13 @@ def main(argv=None):
                 for p_ in images)
         print(f"[align] annotated {n}/{len(images)} images with faces")
         return
+    if os.path.isdir(args.out_folder):     # start_align.py:45-46: a stale
+        import shutil                      # out_folder would contaminate the
+        shutil.rmtree(args.out_folder)     # listdir-built pickle
     n = align_folder(args.in_folder, args.out_folder, detector, landmarker,
-                     args.crop_size, args.mode, workers=args.workers)
-    pkl = os.path.join(args.out_folder, "ffhq.pickle")
+                     args.crop_size, args.mode, workers=args.workers,
+                     hires=args.hires_crop)
+    pkl = args.out_pickle or "{}.pickle".format(args.out_folder)
     paths = gen_pickle_abs(args.out_folder, pkl)
     print(f"[align] cropped {n} faces; pickle with {len(paths)} paths at {pkl}")
 

@@ -66,8 +66,12 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     spec = load_run_spec(args.base, args.overrides)
     if args.data_root and spec.train_data:
-        spec.train_data.pickle_path = os.path.join(args.data_root,
-                                                   "ffhq.pickle")
+        inside = os.path.join(args.data_root, "ffhq.pickle")
+        # cli/align.py writes <out_folder>.pickle (start_align.py:66-67);
+        # an ffhq.pickle inside the folder (older layout) still wins
+        beside = args.data_root.rstrip("/\\") + ".pickle"
+        spec.train_data.pickle_path = (
+            inside if os.path.exists(inside) else beside)
     if args.max_steps:
         spec.trainer.max_steps = args.max_steps
     if spec.train_data:

@@ -58,11 +58,12 @@ def test_align_cli(tmp_path):
     out = str(tmp_path / "cropped")
     align.main(["--in_folder", str(photos), "--out_folder", out,
                 "--crop_size", "64"])
-    pkl = os.path.join(out, "ffhq.pickle")
+    pkl = out + ".pickle"                   # start_align.py:66-67 naming
     assert os.path.exists(pkl)
     with open(pkl, "rb") as f:
         paths = pickle.load(f)
     # random detector may or may not fire on noise; pickle lists whatever
-    # crops were produced, each 64x64
+    # crops were produced, each 64x64 under the ORIGINAL file name
     for p in paths:
+        assert os.path.basename(p).startswith("p")
         assert np.asarray(Image.open(p)).shape == (64, 64, 3)
