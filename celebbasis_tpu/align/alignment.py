@@ -38,11 +38,13 @@ _TEMPLATES = {"set1": (SET1, 112), "arcface": (ARCFACE, 112),
 
 def get_5_from_98(lmk: np.ndarray) -> np.ndarray:
     """WFLW 98 landmarks -> [left eye, right eye, nose, mouth corners]
-    (landmarks.py:8-14)."""
+    (landmarks.py:8-14).  float64, as the reference's int-landmark /3
+    arithmetic produces — the similarity fit consumes it at full
+    precision, which matters for cv2's quantized warp."""
     left_eye = (lmk[60] + lmk[64] + lmk[96]) / 3
     right_eye = (lmk[68] + lmk[72] + lmk[97]) / 3
     return np.asarray([left_eye, right_eye, lmk[54], lmk[76], lmk[82]],
-                      np.float32)
+                      np.float64)
 
 
 def extract_five_from_68(lmk: np.ndarray) -> np.ndarray:
@@ -72,7 +74,8 @@ def umeyama_similarity(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     M = np.zeros((2, 3))
     M[:, :2] = scale * R
     M[:, 2] = t
-    return M.astype(np.float32)
+    return M  # float64: cv2.warpAffine quantizes coords from the full-
+    # precision M exactly as the reference's skimage-estimated transform
 
 
 def estimate_norm(lmk5: np.ndarray, image_size: int = 112,
@@ -135,14 +138,28 @@ def warp_affine_pixels(image: np.ndarray, M: np.ndarray,
     return np.asarray(fn(img, jnp.asarray(Ainv)))
 
 
+def _warp(image: np.ndarray, M: np.ndarray, image_size: int) -> np.ndarray:
+    """cv2.warpAffine when available (the reference's exact fixed-point
+    INTER_LINEAR resampler, alignment.py:141-144 — crops are then
+    bit-identical to the reference's, which is the W0->W2 contract and
+    also skips the device round-trip for this small host-side op);
+    our jit bilinear warp otherwise."""
+    try:
+        import cv2
+        return cv2.warpAffine(image, M, (image_size, image_size),
+                              borderValue=0.0)
+    except ImportError:                               # pragma: no cover
+        return warp_affine_pixels(image, M, (image_size, image_size))
+
+
 def norm_crop(image: np.ndarray, lmk5: np.ndarray, image_size: int = 112,
               mode: str = "ffhq") -> np.ndarray:
     """Aligned square crop (alignment.py:115-150)."""
     M = estimate_norm(lmk5, image_size, mode)
-    return warp_affine_pixels(image, M, (image_size, image_size))
+    return _warp(image, M, image_size)
 
 
 def norm_crop_with_M(image: np.ndarray, lmk5: np.ndarray,
                      image_size: int = 112, mode: str = "ffhq"):
     M = estimate_norm(lmk5, image_size, mode)
-    return warp_affine_pixels(image, M, (image_size, image_size)), M
+    return _warp(image, M, image_size), M

@@ -446,12 +446,18 @@ class PIPNetLandmarker:
     """Detector-box -> 98 landmarks driver (tools.py demo_image parity)."""
 
     def __init__(self, params, cfg: PIPNetConfig, meanface: np.ndarray,
-                 det_box_scale: float = 1.2):
+                 det_box_scale: float = 1.2, ri=None):
+        """``ri=(ri1, ri2)`` (L, max_len) int arrays overrides the
+        meanface-derived reverse index — e.g. a shipped LUT like the
+        reference's reverse_index.py when no meanface file exists."""
         self.cfg = cfg
         self.net = PIPNet(cfg)
         self.params = params
         self.det_box_scale = det_box_scale
-        ri1, ri2, _ = meanface_indices(meanface, cfg.num_nb)
+        if ri is None:
+            ri1, ri2, _ = meanface_indices(meanface, cfg.num_nb)
+        else:
+            ri1, ri2 = (np.asarray(r, np.int32) for r in ri)
         self._ri1, self._ri2 = jnp.asarray(ri1), jnp.asarray(ri2)
         self._jit = jax.jit(self._forward)
 
@@ -493,7 +499,10 @@ class PIPNetLandmarker:
         crop = crop[:, :, ::-1]  # tools.py:124 — net sees the flipped crop
         lms = np.asarray(self._jit(self.params,
                                    jnp.asarray(np.ascontiguousarray(crop))[None]))[0]
-        out = np.empty_like(lms)
-        out[:, 0] = (lms[:, 0] * w).astype(int) + xmin
-        out[:, 1] = (lms[:, 1] * h).astype(int) + ymin
+        # int64 like the reference's int() landmark list (tools.py:156):
+        # downstream get_5_from_98 divides by 3, and a float32 carrier
+        # would round those thirds differently than the reference
+        out = np.empty((lms.shape[0], 2), np.int64)
+        out[:, 0] = (lms[:, 0] * w).astype(np.int64) + xmin
+        out[:, 1] = (lms[:, 1] * h).astype(np.int64) + ymin
         return out
