@@ -1,8 +1,11 @@
 """Score computation CLI — ``evaluation/eval_imgs.py`` (W4 stage 2).
 
-Walks the generated-image tree from gen_imgs, computes CLIP img-img /
-txt-img similarity, identity cosine/MSE/L2 (sphere20), face counts, and
-optionally CLIP-FID against the source folder. Prints a score table and
+Walks the generated-eval folder written by ``cli/gen_imgs.py``
+(``prompts.txt`` / ``in_image_paths.txt`` / ``in_image_ids.txt`` +
+``imgs/{i:05d}_id{id:05d}_{prompt}/``) with the reference's
+IDCLIPScoreCalculator loop: CLIP img-img / txt-img similarity, identity
+cosine/MSE/L2 through the PIPNet-aligned sphere20 chain, face counts, and
+optionally FID against the source folder.  Prints the score table and
 writes scores.json.
 """
 from __future__ import annotations
@@ -13,11 +16,11 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from celebbasis_tpu.eval.evaluators import (CLIPEvaluator, IdCLIPEvaluator,
                                             IdentityEvaluator,
-                                            IDCLIPScoreCalculator)
+                                            IDCLIPScoreCalculator,
+                                            face_cropper_from_nets)
 from celebbasis_tpu.eval.fid import FIDScorer, clip_feature_fn, copy_together
 from celebbasis_tpu.eval.sphere import SphereConfig, SphereNet, convert_sphere
 from celebbasis_tpu.models.clip_text import CLIPTextConfig
@@ -27,24 +30,18 @@ from celebbasis_tpu.models.clip_vit import (CLIPTextTower, CLIPVisionConfig,
 from celebbasis_tpu.text.tokenizer import default_tokenizer
 
 
-def _load_src_images(folder):
-    from PIL import Image
-    out = {}
-    for f in sorted(os.listdir(folder)):
-        if not f.lower().endswith((".jpg", ".png", ".jpeg")):
-            continue
-        idx = IDCLIPScoreCalculator.parse_id(f)
-        if idx is None:
-            # fall back: index by file order
-            idx = len(out)
-        arr = np.asarray(Image.open(os.path.join(folder, f)).convert("RGB"),
-                         np.float32) / 127.5 - 1.0
-        out[idx] = arr
-    return out
+def build_cropper(detector_ckpt=None, pipnet_ckpt=None, meanface=None,
+                  img_size=512, mode="ffhq", seed=0):
+    """The reference's get_lmk_model alignment chain for the identity
+    scorer (clip_eval.py:142-143); random-init without checkpoints."""
+    from celebbasis_tpu.cli.align import _init_detector, _init_landmarker
+    detector = _init_detector(detector_ckpt, seed=seed)
+    landmarker = _init_landmarker(pipnet_ckpt, meanface, seed=seed)
+    return face_cropper_from_nets(detector, landmarker, img_size, mode)
 
 
 def build_scorers(clip_ckpt=None, sphere_ckpt=None, vocab=None, seed=0,
-                  tiny=False):
+                  tiny=False, face_cropper=None, img_size=512):
     if tiny:  # toy-sized scorers for functional verification
         vcfg = CLIPVisionConfig.tiny()
         tcfg = CLIPTextConfig.tiny()
@@ -83,7 +80,9 @@ def build_scorers(clip_ckpt=None, sphere_ckpt=None, vocab=None, seed=0,
         print("[eval] WARNING: no sphere20 checkpoint — random weights")
         face = 32 if tiny else 112
         sp = jax.jit(sphere.init)(rng, jnp.zeros((1, face, face, 3)))
-    id_eval = IdentityEvaluator(sp, cfg=scfg, face_size=32 if tiny else 112)
+    id_eval = IdentityEvaluator(sp, face_cropper=face_cropper, cfg=scfg,
+                                img_size=img_size,
+                                face_size=32 if tiny else 112)
     return IdCLIPEvaluator(clip_eval, id_eval), clip_eval
 
 
@@ -92,13 +91,22 @@ def main(argv=None):
     # multiplication, ~1e-3 noise — fine for generation, not for scoring)
     jax.config.update("jax_default_matmul_precision", "highest")
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--gen_root", type=str, required=True)
-    p.add_argument("--src_folder", type=str, required=True,
-                   help="aligned source crops, named *_id<j>_*.jpg")
+    p.add_argument("--eval_folder", type=str, required=True,
+                   help="gen_imgs output dir (prompts.txt + imgs/)")
     p.add_argument("--clip_ckpt", type=str, default=None)
     p.add_argument("--sphere_ckpt", type=str, default=None)
+    p.add_argument("--detector_ckpt", type=str, default=None,
+                   help="FaceBoxesV2 weights for the identity cropper; "
+                        "omit to score inputs as already-aligned crops")
+    p.add_argument("--pipnet_ckpt", type=str, default=None)
+    p.add_argument("--meanface", type=str, default=None)
+    p.add_argument("--img_size", type=int, default=512,
+                   help="identity crop size (clip_eval.py img_size)")
     p.add_argument("--vocab", type=str, default=None)
     p.add_argument("--fid", action="store_true")
+    p.add_argument("--fid_src", type=str, default=None,
+                   help="source folder for FID (defaults to the folder of "
+                        "in_image_paths.txt's first entry)")
     p.add_argument("--inception_ckpt", type=str, default=None,
                    help="InceptionV3 weights (pytorch-fid pt_inception or "
                         "torchvision inception_v3 .pth): compute the "
@@ -109,27 +117,36 @@ def main(argv=None):
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)
 
+    cropper = None
+    if args.detector_ckpt or args.pipnet_ckpt:
+        cropper = build_cropper(args.detector_ckpt, args.pipnet_ckpt,
+                                args.meanface, args.img_size)
     evaluator, clip_eval = build_scorers(args.clip_ckpt, args.sphere_ckpt,
-                                         args.vocab, tiny=args.tiny)
-    src = _load_src_images(args.src_folder)
-    calc = IDCLIPScoreCalculator(evaluator, src)
-    scores = calc.start_calc(args.gen_root)
+                                         args.vocab, tiny=args.tiny,
+                                         face_cropper=cropper,
+                                         img_size=args.img_size)
+    calc = IDCLIPScoreCalculator(args.eval_folder, evaluator)
+    scores = calc.start_calc()
 
     if args.fid:
-        flat = os.path.join(args.gen_root, "_flat_for_fid")
-        copy_together(args.gen_root, flat)
+        src_folder = args.fid_src
+        if src_folder is None:
+            first = calc.dataset.src_img_paths[0][0]
+            src_folder = os.path.dirname(first)
+        flat = os.path.join(args.eval_folder, "_flat_for_fid")
+        copy_together(os.path.join(args.eval_folder, "imgs"), flat)
         if args.inception_ckpt:
             from celebbasis_tpu.eval.inception import load_inception
             feat_fn, _ = load_inception(args.inception_ckpt)
-            scores["fid"] = FIDScorer(feat_fn).fid(args.src_folder, flat)
+            scores["fid"] = FIDScorer(feat_fn).fid(src_folder, flat)
         else:
             print("[eval] no --inception_ckpt: reporting CLIP-FID "
                   "(not comparable to Inception-FID numbers)")
             scorer = FIDScorer(clip_feature_fn(clip_eval))
-            scores["clip_fid"] = scorer.fid(args.src_folder, flat)
+            scores["clip_fid"] = scorer.fid(src_folder, flat)
 
     print(json.dumps(scores, indent=2))
-    out = args.out or os.path.join(args.gen_root, "scores.json")
+    out = args.out or os.path.join(args.eval_folder, "scores.json")
     with open(out, "w") as f:
         json.dump(scores, f, indent=2)
     print(f"[eval_imgs] wrote {out}")

@@ -117,19 +117,70 @@ class CLIPTextTower(nn.Module):
         return pooled @ proj
 
 
+def _bicubic_weight_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) row-stochastic weights of torch's
+    F.interpolate(mode='bicubic', antialias=False, align_corners=False):
+    half-pixel source centers, Keys cubic A=-0.75, border-clamped taps."""
+    # fp32 scale/index arithmetic — torch keeps width_scale in scalar_t, so
+    # the fractional offsets (and hence the weights) carry fp32 rounding
+    A = np.float32(-0.75)
+    one, half = np.float32(1), np.float32(0.5)
+    scale = np.float32(n_in) / np.float32(n_out)
+    src = (np.arange(n_out, dtype=np.float32) + half) * scale - half
+    f = np.floor(src)
+    t = src - f
+
+    def cub1(x):  # |x| <= 1
+        return ((A + np.float32(2)) * x - (A + np.float32(3))) * x * x + one
+
+    def cub2(x):  # 1 < |x| < 2
+        return (((x - np.float32(5)) * x + np.float32(8)) * x
+                - np.float32(4)) * A
+
+    w = np.stack([cub2(one + t), cub1(t), cub1(one - t), cub2(
+        np.float32(2) - t)], axis=1)
+    idx = np.clip(f[:, None] + np.arange(-1, 3)[None], 0,
+                  n_in - 1).astype(int)
+    W = np.zeros((n_out, n_in))
+    np.add.at(W, (np.arange(n_out)[:, None], idx), w)
+    return W
+
+
+def bicubic_resize_torch(x: np.ndarray, out_hw) -> np.ndarray:
+    """torch tensor-bicubic resize (no antialias) for (B,H,W,C) float
+    arrays — the torchvision Resize kernel the reference's eval
+    preprocessing applies to [-1,1] image tensors.  Separable weight
+    matmuls; fp32 out."""
+    oh, ow = out_hw
+    B, H, W, C = x.shape
+    wh = _bicubic_weight_matrix(oh, H)
+    ww = _bicubic_weight_matrix(ow, W)
+    y = np.einsum("oh,bhwc->bowc", wh, x.astype(np.float64))
+    y = np.einsum("ow,bhwc->bhoc", ww, y)
+    return y.astype(np.float32)
+
+
 def preprocess_images(images_minus1_1: np.ndarray, size: int = 224
                       ) -> np.ndarray:
-    """[-1,1] images -> CLIP-normalized (B,size,size,3) (modules.py:685-693:
-    bicubic resize, [0,1], mean/std normalize)."""
-    from PIL import Image
-    out = []
-    for img in images_minus1_1:
-        arr = ((img + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
-        arr = np.asarray(Image.fromarray(arr).resize((size, size),
-                                                     Image.BICUBIC),
-                         np.float32) / 255.0
-        out.append((arr - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD)
-    return np.stack(out)
+    """[-1,1] NHWC float images -> CLIP-normalized (B,size,size,3).
+
+    The eval path's exact arithmetic (clip_eval.py:27-29: un-normalize to
+    [0,1] as FLOAT — no uint8 round-trip — then clip's preprocess minus
+    ToTensor, i.e. torchvision tensor Resize(size) short-side bicubic
+    without antialias + CenterCrop(size) + Normalize(mean/std))."""
+    x = (np.asarray(images_minus1_1, np.float32) + 1.0) / 2.0
+    B, H, W, C = x.shape
+    if min(H, W) != size:
+        if H <= W:
+            nh, nw = size, int(size * W / H)
+        else:
+            nh, nw = int(size * H / W), size
+        x = bicubic_resize_torch(x, (nh, nw))
+        H, W = nh, nw
+    top = int(round((H - size) / 2.0))
+    left = int(round((W - size) / 2.0))
+    x = x[:, top:top + size, left:left + size]
+    return ((x - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD).astype(np.float32)
 
 
 # -- OpenAI CLIP state-dict bridge ------------------------------------------

@@ -32,9 +32,44 @@ from celebbasis_tpu.cli.align import (_init_detector, _init_landmarker,
                                       align_folder)
 
 
+def tiny_fid(inception_ckpt: str) -> int:
+    """Readiness end-check for W4's metric path: FID of a folder against
+    itself through the REAL bridged Inception graph must be ~0 (pool3
+    statistics are identical; only sqrtm numerics remain)."""
+    from celebbasis_tpu.eval.fid import FIDScorer
+    from celebbasis_tpu.eval.inception import load_inception
+    root = tempfile.mkdtemp(prefix="tiny_fid_")
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3),
+                                     dtype=np.uint8)).save(
+            os.path.join(root, f"x{i}.jpg"))
+    feat_fn, _ = load_inception(inception_ckpt)
+    fid = FIDScorer(feat_fn).fid(root, root)
+    print(json.dumps({"metric": "tiny-fid self", "value": fid}))
+    shutil.rmtree(root)
+    ok = abs(fid) < 1e-3
+    print("OK" if ok else "FAIL: self-FID should be ~0")
+    return 0 if ok else 1
+
+
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    workers = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("n_images", nargs="?", type=int, default=24)
+    p.add_argument("workers", nargs="?", type=int, default=4)
+    p.add_argument("--detector_ckpt", default=None,
+                   help="real FaceBoxesV2 weights (readiness align-bench)")
+    p.add_argument("--pipnet_ckpt", default=None)
+    p.add_argument("--meanface", default=None)
+    p.add_argument("--tiny_fid", action="store_true",
+                   help="instead of the align bench: self-FID == 0 through "
+                        "the real Inception bridge")
+    p.add_argument("--inception_ckpt", default=None)
+    args = p.parse_args()
+    if args.tiny_fid:
+        raise SystemExit(tiny_fid(args.inception_ckpt))
+    n, workers = args.n_images, args.workers
     root = tempfile.mkdtemp(prefix="bench_align_")
     photos = os.path.join(root, "photos")
     os.makedirs(photos)
@@ -44,9 +79,10 @@ def main():
                                      dtype=np.uint8)).save(
             os.path.join(photos, f"p{i:03d}.jpg"), quality=92)
 
-    det = _init_detector(None)
-    det.thresh = 0.05          # random weights: let noise detections fire
-    lmk = _init_landmarker(None, None)
+    det = _init_detector(args.detector_ckpt)
+    if not args.detector_ckpt:
+        det.thresh = 0.05      # random weights: let noise detections fire
+    lmk = _init_landmarker(args.pipnet_ckpt, args.meanface)
 
     results = {}
     for w in (1, workers):

@@ -206,6 +206,8 @@ EXPECTED_CKPTS = {
     "cosface_r100": "weights/glint360k_cosface_r100.pth",
     "pipnet_wflw_r101": "weights/pipnet_r101_epoch59.pth",
     "faceboxesv2": "weights/faceboxesv2.pth",
+    "sphere20": "weights/net_sphere20_data_vggface2_acc_9955.pth",
+    "fid_inception": "weights/pt_inception-2015-12-05.pth",
 }
 
 
@@ -213,12 +215,19 @@ def run_readiness():
     """Run the full readiness chain, each stage a subprocess (bounded memory
     on this 1-core box), and emit a single pass/fail report.
 
-    Stages and their expected tolerances:
+    Stages, covering all five workloads, and their expected tolerances:
       manifest-dryrun   zero-filled bridges over every manifest     (exact)
       ckpt-vs-manifest  real files present? key/shape diff          (exact)
       bridge-golden     random-init torch oracle fwd parity         (2e-4)
-      composed-W2       k-step reference training_step replay       (fp32)
-      composed-W3       reference DDIM chain w/ coeff injection     (fp32)
+      composed-W0       reference align chain replay, crop bytes    (exact)
+      composed-W1       reference _get_celeb_embeddings replay      (fp32)
+      composed-W2+W3    k-step training_step + DDIM chain replay    (fp32)
+      composed-W4       reference score-pipeline replay             (fp32)
+      align-bench       W0 crops/s on the attached device (needs
+                        faceboxes+pipnet weights; SKIP otherwise)
+      tiny-fid          FID of a folder against itself == 0 through
+                        the real Inception bridge (needs
+                        fid_inception weights; SKIP otherwise)
       bench             one bench.py line on the attached device
     """
     import subprocess
@@ -248,9 +257,32 @@ def run_readiness():
             print(f"[skip] {name}: {rel} absent — random-init oracle only")
             report.append((f"ckpt-vs-manifest:{name}", None, 0.0))
     stage("bridge-golden", [py, "scripts/verify_full_parity.py"])
+    stage("composed-W0",
+          [py, "-m", "pytest", "tests/test_composed_align_parity.py", "-q"])
+    stage("composed-W1",
+          [py, "-m", "pytest", "tests/test_composed_basis_parity.py", "-q"])
     stage("composed-W2+W3",
           [py, "-m", "pytest", "tests/test_composed_train_parity.py",
            "tests/test_composed_parity.py", "-q"])
+    stage("composed-W4",
+          [py, "-m", "pytest", "tests/test_composed_eval_parity.py", "-q"])
+    # device stages gated on real weights (the two workload-specific ends)
+    fb = os.path.join(REPO, EXPECTED_CKPTS["faceboxesv2"])
+    pn = os.path.join(REPO, EXPECTED_CKPTS["pipnet_wflw_r101"])
+    if os.path.exists(fb) and os.path.exists(pn):
+        stage("align-bench", [py, "scripts/bench_align.py",
+                              "--detector_ckpt", fb, "--pipnet_ckpt", pn],
+              on_device=True)
+    else:
+        print("[skip] align-bench: faceboxes/pipnet weights absent")
+        report.append(("align-bench", None, 0.0))
+    inc = os.path.join(REPO, EXPECTED_CKPTS["fid_inception"])
+    if os.path.exists(inc):
+        stage("tiny-fid", [py, "scripts/bench_align.py", "--tiny_fid",
+                           "--inception_ckpt", inc], on_device=True)
+    else:
+        print("[skip] tiny-fid: fid_inception weights absent")
+        report.append(("tiny-fid", None, 0.0))
     stage("bench", [py, "bench.py"], on_device=True)
 
     print("\n================ readiness report ================")

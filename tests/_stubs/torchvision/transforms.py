@@ -71,24 +71,47 @@ class ToPILImage:
 
 
 class Resize:
+    """PIL path: PIL resample.  Tensor path ((...,C,H,W) torch tensors, as
+    the reference eval preprocessing applies): F.interpolate with
+    antialias=False — torchvision's reference-era tensor kernel."""
+
+    _MODES = {Image.NEAREST: "nearest", Image.BILINEAR: "bilinear",
+              Image.BICUBIC: "bicubic"}
+
     def __init__(self, size, interpolation=Image.BILINEAR, *a, **k):
         self.size = size
         self.interpolation = interpolation
 
+    def _target(self, h, w):
+        if isinstance(self.size, int):
+            if min(h, w) == self.size:
+                return h, w
+            if w <= h:
+                return int(self.size * h / w), self.size
+            return self.size, int(self.size * w / h)
+        return tuple(self.size)
+
     def __call__(self, img):
+        import torch
+        if isinstance(img, torch.Tensor):
+            h, w = img.shape[-2:]
+            nh, nw = self._target(h, w)
+            if (nh, nw) == (h, w):
+                return img
+            batched = img.ndim == 4
+            t = img if batched else img[None]
+            mode = self._MODES[self.interpolation]
+            out = torch.nn.functional.interpolate(
+                t, size=(nh, nw), mode=mode,
+                **({"antialias": False} if mode != "nearest" else {}))
+            return out if batched else out[0]
         if not isinstance(img, Image.Image):
             img = Image.fromarray(np.asarray(img))
-        if isinstance(self.size, int):
-            w, h = img.size
-            short, long = (w, h) if w <= h else (h, w)
-            if short == self.size:
-                return img
-            new_short = self.size
-            new_long = int(self.size * long / short)
-            nw, nh = ((new_short, new_long) if w <= h
-                      else (new_long, new_short))
-            return img.resize((nw, nh), self.interpolation)
-        return img.resize((self.size[1], self.size[0]), self.interpolation)
+        w, h = img.size
+        nh, nw = self._target(h, w)
+        if (nh, nw) == (h, w):
+            return img
+        return img.resize((nw, nh), self.interpolation)
 
 
 class CenterCrop:
@@ -96,8 +119,14 @@ class CenterCrop:
         self.size = (size, size) if isinstance(size, int) else tuple(size)
 
     def __call__(self, img):
-        w, h = img.size
+        import torch
         th, tw = self.size
+        if isinstance(img, torch.Tensor):
+            h, w = img.shape[-2:]
+            top = int(round((h - th) / 2.0))
+            left = int(round((w - tw) / 2.0))
+            return img[..., top:top + th, left:left + tw]
+        w, h = img.size
         left = int(round((w - tw) / 2.0))
         top = int(round((h - th) / 2.0))
         return img.crop((left, top, left + tw, top + th))
@@ -118,3 +147,9 @@ class functional:  # noqa: N801
     @staticmethod
     def resize(img, size, interpolation=Image.BILINEAR, *a, **k):
         return Resize(size, interpolation)(img)
+
+
+# `from torchvision.transforms import transforms` (the real package has a
+# transforms submodule re-exporting the same names) — alias to ourselves
+import sys as _sys
+transforms = _sys.modules[__name__]

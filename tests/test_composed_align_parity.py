@@ -108,7 +108,7 @@ class _BoundaryFlip(Exception):
     """fp int()-boundary flip (or a starved seed): retry with the next."""
 
 
-def _build_ref_faceboxes(seed, tmp_path, imgs):
+def _build_ref_faceboxes(seed, tmp_path, imgs, min_per_img=1):
     """Shared-weight detectors tuned so ~6 boxes total cross the 0.6
     product threshold, with a known score margin.
 
@@ -157,7 +157,7 @@ def _build_ref_faceboxes(seed, tmp_path, imgs):
         d = (pooled[k - 1] + pooled[k]) / 2
         margin = (pooled[k - 1] - pooled[k]) / 2
         counts = [int((di > d).sum()) for di in per_img]
-        if margin > 1e-3 and min(counts) >= 1:
+        if margin > 1e-3 and min(counts) >= min_per_img:
             break
     else:
         raise _BoundaryFlip(f"no clean bias split (pooled={pooled[:9]})")

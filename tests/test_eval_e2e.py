@@ -53,19 +53,24 @@ def test_gen_then_eval(workdir):
         "--from-file", str(workdir / "prompts_single.txt"),
         "--outdir", gen_root, "--ids", "0", "1", "--n_samples", "2",
         "--ddim_steps", "3", "--H", "32",
+        "--src_folder", str(workdir / "src"),
     ])
-    imgs = glob.glob(os.path.join(gen_root, "*", "*.jpg"))
-    assert len(imgs) == 4  # 1 prompt x 2 ids x 2 samples
-    base = os.path.basename(imgs[0])
-    assert "_id" in base and "#" in base  # naming contract
+    # reference eval-folder contract: txt files + imgs/{i:05d}_id{j:05d}_...
+    for txt in ("prompts.txt", "in_image_paths.txt", "in_image_ids.txt"):
+        assert os.path.exists(os.path.join(gen_root, txt)), txt
+    imgs = glob.glob(os.path.join(gen_root, "imgs", "*", "*.jpg"))
+    assert len(imgs) == 4  # 1 prompt x 2 id-pairs x 2 samples
+    folders = sorted(os.listdir(os.path.join(gen_root, "imgs")))
+    assert folders[0].startswith("00000_id00000_")
 
     scores = eval_imgs.main([
-        "--gen_root", gen_root, "--src_folder", str(workdir / "src"),
-        "--tiny", "--fid",
+        "--eval_folder", gen_root, "--tiny", "--fid",
     ])
-    for key in ("clip_img_img", "clip_txt_img", "id_cosine", "clip_fid"):
+    for key in ("image_sim", "text_sim", "id_cos_sim", "num_has_face",
+                "clip_fid"):
         assert key in scores, key
         assert np.isfinite(scores[key])
+    assert scores["n_items"] == 2
     assert os.path.exists(os.path.join(gen_root, "scores.json"))
     with open(os.path.join(gen_root, "scores.json")) as f:
         assert json.load(f).keys() == scores.keys()
