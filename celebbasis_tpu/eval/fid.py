@@ -29,17 +29,34 @@ def activation_statistics(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _sqrtm_psd(mat: np.ndarray) -> np.ndarray:
-    """Matrix square root of a (near-)PSD symmetric matrix via eigh."""
+    """Matrix square root of a (near-)PSD symmetric matrix via eigh.
+
+    Negative eigenvalues (fp noise on rank-deficient covariances) clip to
+    zero — where scipy.linalg.sqrtm's Schur route emits complex entries
+    that pytorch-fid then drops via ``covmean.real``, this stays real by
+    construction; the traces agree (property-pinned vs scipy in
+    tests/test_inception_fid.py)."""
     vals, vecs = np.linalg.eigh((mat + mat.T) / 2)
     vals = np.clip(vals, 0, None)
     return (vecs * np.sqrt(vals)) @ vecs.T
 
 
-def frechet_distance(mu1, cov1, mu2, cov2) -> float:
-    """||mu1-mu2||² + Tr(C1 + C2 - 2 (C1^{1/2} C2 C1^{1/2})^{1/2})."""
+def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
+    """||mu1-mu2||² + Tr(C1 + C2 - 2 (C1^{1/2} C2 C1^{1/2})^{1/2}).
+
+    Tr((C1^{1/2} C2 C1^{1/2})^{1/2}) == Tr((C1 C2)^{1/2}) for PSD inputs
+    (similar matrices), so this matches pytorch-fid's
+    ``calculate_frechet_distance`` while staying in symmetric-eigh land.
+    The ``eps`` fallback replicates pytorch-fid's exactly: when the sqrt
+    comes back non-finite, redo it with eps on BOTH diagonals, keeping the
+    original Tr(C1)+Tr(C2) (pytorch_fid/fid_score.py:66-75 semantics)."""
     diff = mu1 - mu2
     c1_half = _sqrtm_psd(cov1)
     inner = _sqrtm_psd(c1_half @ cov2 @ c1_half)
+    if not np.isfinite(inner).all():  # pragma: no cover - fp pathologies
+        off = np.eye(np.atleast_2d(cov1).shape[0]) * eps
+        c1_half = _sqrtm_psd(cov1 + off)
+        inner = _sqrtm_psd(c1_half @ (cov2 + off) @ c1_half)
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2)
                  - 2.0 * np.trace(inner))
 
