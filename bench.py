@@ -64,6 +64,26 @@ def main():
     # compile + warmup; fetch to host to defeat any async completion quirks
     import numpy as np
     np.asarray(run(jax.random.key(2)))
+
+    # FLOP count of the whole 50-step program from the compiled HLO — the
+    # numerator of MFU (peak from PERF.md's audited 197 bf16 TFLOP/s for
+    # this chip; override with CELEBBASIS_PEAK_TFLOPS).  Runs AFTER the
+    # warmup so the persistent cache serves the lower().compile() instantly.
+    total_flops = None
+    try:
+        cost = _run.lower(params, ctx, uncond,
+                          jax.random.key(2)).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        body_flops = float(cost.get("flops", 0.0))
+        # XLA cost analysis counts a while/scan body ONCE (trip count is
+        # dynamic to it); the program is 50 such steps and the outside-
+        # the-loop work is negligible (measured: body == 1.53 TFLOP, the
+        # PERF.md HLO count for one CFG forward)
+        total_flops = body_flops * STEPS if body_flops else None
+    except Exception:
+        pass
+    peak_tflops = float(os.environ.get("CELEBBASIS_PEAK_TFLOPS", "197"))
     # dispatch all reps before fetching: JAX's async dispatch queues the
     # device programs back-to-back so the ~65 ms tunnel round-trip (CLAUDE.md)
     # is paid once, not per rep — this measures device throughput, which is
@@ -76,12 +96,17 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep
     steps_per_sec = STEPS / dt
 
-    print(json.dumps({
+    out = {
         "metric": "512x512 DDIM denoise steps/sec/chip (CFG, SD v1.4 UNet bf16)",
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / A100_STEPS_PER_SEC, 3),
-    }))
+    }
+    if total_flops:
+        achieved = total_flops / dt  # one rep = the full 50-step program
+        out["tflops_per_sec"] = round(achieved / 1e12, 1)
+        out["mfu"] = round(achieved / (peak_tflops * 1e12), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -51,9 +51,6 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *, num_heads: int,
     B, N, C = q.shape
     M = k.shape[1]
     H = num_heads
-    qh = rearrange(q, "b n (h d) -> b h n d", h=H)
-    kh = rearrange(k, "b m (h d) -> b h m d", h=H)
-    vh = rearrange(v, "b m (h d) -> b h m d", h=H)
     # the pallas flash kernel is mask-free; masked attention (CLIP causal)
     # always takes the XLA path.  It also keeps whole K/V resident in VMEM
     # per program, so huge M*head_dim (the VAE's 1-head 4096-token d=512
@@ -61,7 +58,20 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, *, num_heads: int,
     # OOM) routes to XLA, where the materialized-logits cost is trivial
     # (~0.16 ms) next to the surrounding 512² convs.
     head_dim_p = -(-(C // H) // 128) * 128
-    if impl == "pallas" and mask is None and M * head_dim_p <= 2 ** 20:
+    use_pallas = impl == "pallas" and mask is None and M * head_dim_p <= 2 ** 20
+    if use_pallas and os.environ.get("CELEBBASIS_FLASH_LAYOUT") != "bhnd":
+        # default: transpose-free packed layout — the q/k/v/o head
+        # transposes were 'data formatting' in the r5 device trace and
+        # dropping them measured +3.2% on the DDIM bench (51.36 -> 52.98
+        # steps/s); training (under grad) falls back to the (B,H,N,D)
+        # kernels inside the custom_vjp.  CELEBBASIS_FLASH_LAYOUT=bhnd
+        # reverts to the always-transpose path for A/B.
+        from celebbasis_tpu.ops.flash_attention import flash_attention_nhd
+        return flash_attention_nhd(q, k, v, H)
+    qh = rearrange(q, "b n (h d) -> b h n d", h=H)
+    kh = rearrange(k, "b m (h d) -> b h m d", h=H)
+    vh = rearrange(v, "b m (h d) -> b h m d", h=H)
+    if use_pallas:
         from celebbasis_tpu.ops.flash_attention import flash_attention
         out = flash_attention(qh, kh, vh)
     else:

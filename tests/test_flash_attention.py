@@ -123,3 +123,48 @@ def test_bwd_env_caps_override_preserves_grads(monkeypatch):
     for a, b in zip(base, capped):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+# -- packed transpose-free layout (r5 default inference path) ----------------
+
+@pytest.mark.parametrize("shape", [(2, 4, 128, 128, 40), (1, 8, 256, 77, 40),
+                                   (2, 2, 100, 100, 64)])
+def test_nhd_packed_matches_xla(shape):
+    """flash_attention_nhd on (B, N, H*D) == the XLA reference core."""
+    B, H, N, M, D = shape
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((B, N, H * D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, M, H * D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, M, H * D)), jnp.float32)
+    got = fa.flash_attention_nhd(q, k, v, H)
+    tr = lambda x, n: x.reshape(B, n, H, D).transpose(0, 2, 1, 3)
+    ref = _xla_attention(tr(q, N), tr(k, M), tr(v, M), None)
+    ref = ref.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_nhd_grad_fallback_matches_xla():
+    """Under grad, the packed path's custom_vjp falls back to the proven
+    (B,H,N,D) kernels — value and gradients must match XLA."""
+    B, H, N, M, D = 1, 2, 64, 64, 40
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((B, N, H * D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, M, H * D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, M, H * D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((B, N, H * D)), jnp.float32)
+
+    def loss_nhd(q, k, v):
+        return (fa.flash_attention_nhd(q, k, v, H) * w).sum()
+
+    def loss_xla(q, k, v):
+        tr = lambda x, n: x.reshape(B, n, H, D).transpose(0, 2, 1, 3)
+        o = _xla_attention(tr(q, N), tr(k, M), tr(v, M), None)
+        return (o.transpose(0, 2, 1, 3).reshape(B, N, H * D) * w).sum()
+
+    val, grads = jax.value_and_grad(loss_nhd, argnums=(0, 1, 2))(q, k, v)
+    val_r, grads_r = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(val), float(val_r), rtol=1e-5)
+    for a, b in zip(grads, grads_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
