@@ -361,12 +361,17 @@ def _tiny_legacy_cfg(first_stage="vq", cond="uncond"):
                        **({"use_spatial_transformer": True,
                            "transformer_depth": 1, "context_dim": 48,
                            "num_heads": 4} if cond != "uncond" else {})}}
+    # the reference zoo's conditional configs set conditioning_key
+    # explicitly (models/ldm/cin256/config.yaml:15, text2img256:15);
+    # without it the reference's concat_mode default would concat a
+    # (B,1,emb) class token into image channels and crash — there too
+    extra = {} if cond == "uncond" else {"conditioning_key": "crossattn"}
     return {"model": {"target": "ldm.models.diffusion.ddpm.LatentDiffusion",
                       "params": {"linear_start": 0.0015, "linear_end": 0.0195,
                                  "timesteps": 16, "image_size": 16,
                                  "channels": 3, "unet_config": unet,
                                  "first_stage_config": fs,
-                                 "cond_stage_config": cs}}}
+                                 "cond_stage_config": cs, **extra}}}
 
 
 def test_tiny_legacy_uncond_sample_and_train():
