@@ -195,14 +195,18 @@ def test_idclip_evaluator_vs_reference(monkeypatch, tmp_path):
             _tensor_nchw(gen), _tensor_nchw(src), text)
         o_img, o_txt, o_id = ours.evaluate(gen, src, text)
 
-        np.testing.assert_allclose(o_img, float(r_img), atol=2e-4)
-        np.testing.assert_allclose(o_txt, float(r_txt), atol=2e-4)
+        # Measured two-stack agreement is <=1.2e-7 (fp32, shared weights);
+        # 1e-5 keeps ~100x margin while staying tight enough that the
+        # uint8-round-trip mutation control (test_oracle_mutations.py,
+        # delta 1.3e-4) provably fails the oracle.
+        np.testing.assert_allclose(o_img, float(r_img), atol=1e-5)
+        np.testing.assert_allclose(o_txt, float(r_txt), atol=1e-5)
         np.testing.assert_allclose(o_id["cos_sim"], float(r_id["cos_sim"]),
-                                   atol=2e-4)
+                                   atol=1e-5)
         np.testing.assert_allclose(o_id["mse_dist"], float(r_id["mse_dist"]),
-                                   atol=2e-4)
+                                   atol=1e-5)
         np.testing.assert_allclose(o_id["l2_dist"], float(r_id["l2_dist"]),
-                                   atol=2e-4)
+                                   atol=1e-5)
         assert o_id["num_has_face"] == int(r_id["num_has_face"])
         assert o_id["num_no_face"] == int(r_id["num_no_face"])
         return
@@ -312,12 +316,15 @@ def test_score_calculator_loop_vs_reference(monkeypatch, tmp_path, capsys):
             _parse_ref_aggregates(printed)
 
         scores = IDCLIPScoreCalculator(root, ours, verbose=False).start_calc()
-        # reference aggregates only survive via print (4-decimal precision)
-        np.testing.assert_allclose(scores["image_sim"], r_img, atol=2e-4)
-        np.testing.assert_allclose(scores["text_sim"], r_txt, atol=2e-4)
-        np.testing.assert_allclose(scores["id_cos_sim"], r_cos, atol=2e-4)
-        np.testing.assert_allclose(scores["id_mse_dist"], r_mse, atol=2e-4)
-        np.testing.assert_allclose(scores["id_l2_dist"], r_l2, atol=2e-4)
+        # reference aggregates only survive via print: torch's 4-decimal
+        # tensor repr quantizes at 5e-5, which floors the achievable
+        # tolerance here (true two-stack agreement is <=1.2e-7 per item —
+        # the per-item test above pins that at 1e-5)
+        np.testing.assert_allclose(scores["image_sim"], r_img, atol=1e-4)
+        np.testing.assert_allclose(scores["text_sim"], r_txt, atol=1e-4)
+        np.testing.assert_allclose(scores["id_cos_sim"], r_cos, atol=1e-4)
+        np.testing.assert_allclose(scores["id_mse_dist"], r_mse, atol=1e-4)
+        np.testing.assert_allclose(scores["id_l2_dist"], r_l2, atol=1e-4)
         assert scores["num_has_face"] == r_has
         assert scores["num_no_face"] == r_no
         assert scores["n_items"] == 2

@@ -20,6 +20,28 @@ Knobs mutated:
   (EXACTLY the bug the TI oracle caught, f5ab5ef)
 * classifier AdamW weight decay 1e-2 -> 0  (dab2cc3's knob)
 * VQ commitment beta 0.25 -> 0.5  (the loss-term class 38f5ad7 fixed)
+
+r5 adds the same controls for the W4 score-pipeline oracle
+(test_composed_eval_parity.py pins every per-item score at atol=1e-5 —
+tightened from 2e-4 after measuring the true two-stack agreement at
+<=1.2e-7; the uint8 control below is what forced the tightening, its
+1.3e-4 delta sat inside the old tolerance): each mutated knob is a
+scoring definition the r5 reference-exact rework of eval/evaluators.py
+actually changed — the quantities are recomputed with the plausible-bug
+formula on the SAME embeddings/images, so the delta is exactly what the
+oracle would see:
+
+* L2 = sqrt(MSE*dim)/2 (clip_eval.py:249) -> plain mean pairwise L2
+* MSE on normalized features -> MSE on raw sphere features
+* CLIP features on float [-1,1] pixels -> uint8 round-trip first
+  (the identity path round-trips, the CLIP path must NOT)
+* the `success or i == 0` first-image-always-kept quirk
+  (clip_eval.py:195-199) -> plain `success`
+
+(The W1 basis oracle carries its own in-test negative control —
+``true_dedup=True`` changes the basis, test_composed_basis_parity.py:169 —
+and the W0 align oracle pins byte equality, where any knob flip is a
+literal byte diff; neither needs a tolerance-sensitivity proof here.)
 """
 import dataclasses
 
@@ -218,3 +240,130 @@ def test_vq_oracle_catches_commitment_beta():
             for a, b in zip(jax.tree.leaves(p_mut), jax.tree.leaves(p_ok)))
     assert d > 2 * 5e-6, (
         f"VQ beta mutation delta {d:.2e} within the AE oracle tolerance")
+
+
+# ---------------------------------------------------------------------------
+# W4 score-pipeline oracle (test_composed_eval_parity.py, per-item atol=1e-5)
+# ---------------------------------------------------------------------------
+
+W4_ATOL = 1e-5
+
+
+@pytest.fixture(scope="module")
+def id_eval():
+    """Tiny-sphere IdentityEvaluator treating inputs as aligned crops
+    (face_cropper=None isolates the scoring math from the align chain,
+    which the W0 oracle pins byte-for-byte separately)."""
+    from celebbasis_tpu.eval.evaluators import IdentityEvaluator
+    from celebbasis_tpu.eval.sphere import SphereConfig, SphereNet
+    cfg = SphereConfig.tiny()
+    params = jax.jit(SphereNet(cfg).init)(
+        jax.random.key(11), jnp.zeros((1, 112, 112, 3), jnp.float32))
+    return IdentityEvaluator(params, face_cropper=None, cfg=cfg,
+                             img_size=112, face_size=112)
+
+
+def _w4_images(n, seed=31):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1, 1, (n, 112, 112, 3)).astype(np.float32)
+
+
+def test_w4_oracle_catches_l2_definition(id_eval):
+    """Plausible bug: a from-scratch port writes l2_dist as the mean
+    pairwise L2 distance; the reference is sqrt(MSE*dim)/2
+    (clip_eval.py:249)."""
+    from celebbasis_tpu.eval.evaluators import _f_normalize
+    imgs = _w4_images(4)
+    ok = id_eval.start_calc(imgs[:1], imgs[1:])
+    feats = _f_normalize(id_eval.embed_crops(imgs))
+    diff = np.tile(feats[:1], (3, 1)) - feats[1:]
+    l2_mut = float(np.linalg.norm(diff, axis=1).mean())
+    _exceeds(l2_mut, ok["l2_dist"], atol=W4_ATOL, rtol=0,
+             name="plain pairwise L2 / l2_dist")
+
+
+def test_w4_oracle_catches_unnormalized_mse(id_eval):
+    """Plausible bug: MSE computed on raw sphere features instead of the
+    F.normalize'd ones (clip_eval.py:236-243)."""
+    imgs = _w4_images(4, seed=32)
+    ok = id_eval.start_calc(imgs[:1], imgs[1:])
+    feats = id_eval.embed_crops(imgs)          # raw, NOT normalized
+    diff = np.tile(feats[:1], (3, 1)) - feats[1:]
+    mse_mut = float((diff ** 2).mean())
+    _exceeds(mse_mut, ok["mse_dist"], atol=W4_ATOL, rtol=0,
+             name="unnormalized-feature MSE / mse_dist")
+
+
+def test_w4_oracle_catches_first_image_quirk(id_eval):
+    """clip_eval.py:195-199 keeps (and counts has_face) the FIRST image even
+    when no face is found.  Mutating `ok or i == 0` to plain `ok` changes
+    both the has/no-face counts (oracle: exact equality) and cos_sim."""
+    from celebbasis_tpu.eval import evaluators as ev_mod
+    imgs = _w4_images(4, seed=33)
+    arrs = ((imgs + 1.0) * 127.5).astype(np.uint8)
+    # a cropper that fails on the first image seen and crops the rest 2x
+    calls = {"n": 0}
+
+    def cropper(img_u8):
+        i = calls["n"]
+        calls["n"] += 1
+        return (img_u8, False) if i == 0 else (img_u8[::2, ::2], True)
+
+    class _NoQuirk(ev_mod.IdentityEvaluator):
+        def _check_lmk_box(self, imgs_minus1_1):
+            arr = ((imgs_minus1_1 + 1.0) * 127.5).astype(np.uint8)
+            kept, has, no = [], 0, 0
+            for img in arr:
+                crop, okf = self.face_cropper(img)
+                if okf:                     # the quirk dropped
+                    has += 1
+                    kept.append(ev_mod._trans_arr_to_tensor(
+                        crop, self.img_size))
+                else:
+                    no += 1
+            return np.stack(kept), has, no
+
+    ok_eval = ev_mod.IdentityEvaluator(
+        id_eval.params, face_cropper=cropper, cfg=id_eval.net.cfg,
+        img_size=112, face_size=112)
+    calls["n"] = 0
+    ok = ok_eval.start_calc(imgs[:1], imgs[1:])
+    mut_eval = _NoQuirk(
+        id_eval.params, face_cropper=cropper, cfg=id_eval.net.cfg,
+        img_size=112, face_size=112)
+    calls["n"] = 0
+    mut = mut_eval.start_calc(imgs[:1], imgs[1:])
+    assert (mut["num_has_face"], mut["num_no_face"]) != \
+        (ok["num_has_face"], ok["num_no_face"]), "face counts insensitive"
+    # with the first (source) slot dropped, crops[:1] is a *generated* crop:
+    # cos_sim is a different pairing entirely
+    _exceeds(mut["cos_sim"], ok["cos_sim"], atol=W4_ATOL, rtol=0,
+             name="first-image quirk / cos_sim")
+    del arrs
+
+
+def test_w4_oracle_catches_clip_uint8_roundtrip():
+    """clip_eval.py:27-29 feeds CLIP the FLOAT un-normalized pixels (no
+    uint8 round-trip — unlike the identity path).  Mutating the CLIP
+    preprocessing to round-trip through uint8 must shift image_sim beyond
+    the oracle tolerance."""
+    from celebbasis_tpu.eval.evaluators import CLIPEvaluator
+    from celebbasis_tpu.models.clip_vit import (CLIPVisionConfig,
+                                                CLIPVisionEncoder)
+    vcfg = CLIPVisionConfig.tiny()
+    vp = jax.jit(CLIPVisionEncoder(vcfg).init)(
+        jax.random.key(21),
+        jnp.zeros((1, vcfg.image_size, vcfg.image_size, 3), jnp.float32))
+    ev = CLIPEvaluator(vp, text_params=None, tokenizer=None, vision_cfg=vcfg)
+    rng = np.random.default_rng(41)
+    src = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    gen = rng.uniform(-1, 1, (3, 64, 64, 3)).astype(np.float32)
+    sim_ok = ev.img_to_img_similarity(src, gen)
+
+    def u8rt(x):
+        return ((x + 1.0) * 127.5).astype(np.uint8) \
+            .astype(np.float32) / 127.5 - 1.0
+
+    sim_mut = ev.img_to_img_similarity(u8rt(src), u8rt(gen))
+    _exceeds(sim_mut, sim_ok, atol=W4_ATOL, rtol=0,
+             name="uint8 round-trip CLIP preprocessing / image_sim")
