@@ -38,6 +38,13 @@ oracle would see:
 * the `success or i == 0` first-image-always-kept quirk
   (clip_eval.py:195-199) -> plain `success`
 
+and for the W3 composed chain oracle (final latents at atol=2e-3/rtol=1e-3):
+
+* DDIM ``alphas_prev`` off-by-one — the classic port bug of feeding
+  alpha_t where the update needs alpha_{t-1} (the reference builds the
+  shifted buffer at ddim.py:52-54; dropping the shift is one missed
+  ``np.append``)
+
 (The W1 basis oracle carries its own in-test negative control —
 ``true_dedup=True`` changes the basis, test_composed_basis_parity.py:169 —
 and the W0 align oracle pins byte equality, where any knob flip is a
@@ -240,6 +247,42 @@ def test_vq_oracle_catches_commitment_beta():
             for a, b in zip(jax.tree.leaves(p_mut), jax.tree.leaves(p_ok)))
     assert d > 2 * 5e-6, (
         f"VQ beta mutation delta {d:.2e} within the AE oracle tolerance")
+
+
+# ---------------------------------------------------------------------------
+# W3 composed chain oracle (test_composed_train_parity.py::test_composed_w3_*,
+# final latents at atol=2e-3 / rtol=1e-3)
+# ---------------------------------------------------------------------------
+
+
+def test_w3_oracle_catches_alphas_prev_offset():
+    """Run OUR ddim_sample twice — correct schedule vs alphas_prev==alphas
+    (the un-shifted buffer) — same tiny eps model, same key, CFG-10 like the
+    oracle; the final-latent delta must exceed 2x the W3 tolerance."""
+    from celebbasis_tpu.diffusion.sampler import SamplerConfig, ddim_sample
+    from celebbasis_tpu.diffusion.schedules import (make_ddim_schedule,
+                                                    make_schedule)
+    ddim_ok = make_ddim_schedule(make_schedule(), 10)
+    ddim_mut = dataclasses.replace(ddim_ok, alphas_prev=ddim_ok.alphas)
+
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(0.2 * rng.standard_normal((4, 4)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((1, 3, 4)).astype(np.float32))
+    uncond = jnp.zeros_like(cond)
+
+    def eps_model(x, t, ctx):
+        # deterministic, context-sensitive (so CFG is exercised), bounded
+        drift = ctx.mean(axis=(1, 2))[:, None, None, None]
+        return jnp.tanh(jnp.einsum("bhwc,cd->bhwd", x, w)) + 0.1 * drift
+
+    def run(sched):
+        return np.asarray(ddim_sample(
+            eps_model, sched, rng=jax.random.key(5), shape=(1, 8, 8, 4),
+            cond=cond, uncond=uncond,
+            cfg=SamplerConfig(guidance_scale=10.0)))
+
+    _exceeds(run(ddim_mut), run(ddim_ok), atol=2e-3, rtol=1e-3,
+             name="alphas_prev off-by-one / final latents")
 
 
 # ---------------------------------------------------------------------------
